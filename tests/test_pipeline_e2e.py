@@ -1,0 +1,127 @@
+"""End-to-end tests: synthetic corpus → extraction → triples → materialize,
+verified against spec-derived goldens (FIXTURES.md F1-F3, F8)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from mannheimsearchjoinsengine_ray.pipelines import kg
+from mannheimsearchjoinsengine_ray.sources import pages as P
+from mannheimsearchjoinsengine_ray.stages import extract as E
+from mannheimsearchjoinsengine_ray.stages import triples as T
+
+N_PAGES = 120
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    P.write_corpus(d, n_pages=N_PAGES, seed=42, parallelism=4)
+    return d
+
+
+def test_corpus_deterministic(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    d1 = str(tmp_path_factory.mktemp("c1"))
+    d2 = str(tmp_path_factory.mktemp("c2"))
+    P.write_corpus(d1, n_pages=30, seed=42, parallelism=2)
+    P.write_corpus(d2, n_pages=30, seed=42, parallelism=3)  # different blocking
+    t1 = rd.read_parquet(d1).to_pandas().sort_values("url").reset_index(drop=True)
+    t2 = rd.read_parquet(d2).to_pandas().sort_values("url").reset_index(drop=True)
+    assert (t1["html"] == t2["html"]).all()
+    assert (t1["text"] == t2["text"]).all()
+
+
+def test_text_extraction_byte_identical(ray_session, corpus_dir):
+    """The per-url invariant: extracted text == golden text column, bytewise."""
+    import ray.data as rd
+
+    extracted = kg.extract_text_ds(corpus_dir).to_pandas()
+    golden = rd.read_parquet(corpus_dir, columns=["url", "text"]).to_pandas()
+    merged = extracted.merge(golden, on="url", suffixes=("_got", "_gold"))
+    assert len(merged) == N_PAGES
+    assert (merged["text_got"] == merged["text_gold"]).all()
+
+
+def test_triples_precision_recall(ray_session, corpus_dir):
+    got_ds = kg.pages_to_triples(corpus_dir)
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["obj_type"])
+        for r in got_ds.take_all()
+    }
+    gold = set()
+    for pid in range(N_PAGES):
+        for s, p, o, t, u in P.golden_triples_for_page(P.make_page_spec(pid)):
+            gold.add((s, p, o, t))
+    inter = got & gold
+    precision = len(inter) / max(1, len(got))
+    recall = len(inter) / max(1, len(gold))
+    assert precision >= 0.95, f"precision {precision}"
+    assert recall >= 0.95, f"recall {recall}"
+
+
+def test_materialize_partitions_and_manifests(ray_session, corpus_dir, tmp_path):
+    out = str(tmp_path / "kg_out")
+    metrics = kg.run_resumable(corpus_dir, out, num_shards=2, partitions_per_shard=3)
+    assert metrics["shards_run"] == 2
+    ds = kg.read_output(out)
+    n = ds.count()
+    assert n == metrics["rows_written"] and n > 0
+    # partitions are sorted by (subj, pred) and subject-disjoint across parts
+    shard_dir = os.path.join(out, "shard=00000")
+    import pyarrow.parquet as pq
+
+    subj_sets = []
+    for d in sorted(os.listdir(shard_dir)):
+        if not d.startswith("part="):
+            continue
+        t = pq.read_table(os.path.join(shard_dir, d))
+        subjs = t.column("subj").to_pylist()
+        preds = t.column("pred").to_pylist()
+        assert list(zip(subjs, preds)) == sorted(zip(subjs, preds))
+        subj_sets.append(set(subjs))
+    for i in range(len(subj_sets)):
+        for j in range(i + 1, len(subj_sets)):
+            assert not (subj_sets[i] & subj_sets[j])
+
+
+def test_resume_skips_completed_shards(ray_session, corpus_dir, tmp_path):
+    """FIXTURES F8: kill after k shards, resume, identical final output."""
+    out_a = str(tmp_path / "runA")
+    out_b = str(tmp_path / "runB")
+    kg.run_resumable(corpus_dir, out_a, num_shards=3, partitions_per_shard=2)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        kg.run_resumable(corpus_dir, out_b, num_shards=3,
+                         partitions_per_shard=2, fail_after_shards=1)
+    assert len(kg.completed_shards(out_b)) == 1
+    m = kg.run_resumable(corpus_dir, out_b, num_shards=3, partitions_per_shard=2)
+    assert m["shards_skipped"] == 1 and m["shards_run"] == 2
+
+    rows_a = sorted(map(tuple, kg.read_output(out_a).to_pandas().values.tolist()))
+    rows_b = sorted(map(tuple, kg.read_output(out_b).to_pandas().values.tolist()))
+    assert rows_a == rows_b
+
+
+def test_invalid_tables_rejected(ray_session):
+    """<3 cols or <5 rows tables produce no records (ConvertFileToTable.isTableValid)."""
+    html = (b"<html><body><table>"
+            b"<tr><th>name</th><th>x</th></tr>"
+            b"<tr><td>a</td><td>1</td></tr>" * 10 +
+            b"</table></body></html>")
+    _, tables = E.parse_page_full(html)
+    assert len(tables) == 1
+    assert E.process_table(tables[0]) is None
+
+
+def test_ntriples_formatting():
+    line = T.format_ntriple("http://x/S", T.RDFS_LABEL, "Some Value", "string")
+    assert line == f'<http://x/S> <{T.RDFS_LABEL}> "Some Value"@en .'
+    line = T.format_ntriple("http://x/S", "http://x/p", "12.5", "float")
+    assert line.endswith('"12.5"^^<http://www.w3.org/2001/XMLSchema#float> .')
+    line = T.format_ntriple("http://x/S", T.RDF_TYPE, "http://x/C", "uri")
+    assert line == "<http://x/S> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://x/C> ."
