@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: full KG pipeline (pages → tables → triples → materialize) over a
+deterministic synthetic corpus sized to $GRAFT_SF_DIR, plus representative
+query timings over the testdata tables.  Prints ONE JSON line on stdout:
+
+  {"metric": "kg_pipeline_e2e", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "triples": N,
+   "triples_per_sec": N}
+
+``--scaling``: runs the plain bench twice in fresh processes at
+RAY_GRAFT_CPUS=8 and =32 over the same input and reports
+efficiency = (t8/t32)/(32/8)  (1.0 = linear scaling).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "pricing_summary", "revenue_by_nation", "top_orders",
+    "events_hourly_window", "token_counts", "exact_dedup", "quality_filter",
+]
+
+
+def run_bench() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from mannheimsearchjoinsengine_ray.pipelines import kg
+    from mannheimsearchjoinsengine_ray.pipelines.queries import QUERIES, corpus_for
+
+    # corpus generation is not part of the measurement; also warms page cache
+    corpus = corpus_for(SF_DIR)
+
+    out_dir = f"/tmp/graft_bench_out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    metrics = kg.run_resumable(corpus, out_dir, num_shards=1,
+                               partitions_per_shard=max(4, NUM_CPUS // 2))
+    e2e = time.perf_counter() - t0
+    n_triples = metrics["rows_written"]
+
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        res = QUERIES[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "kg_pipeline_e2e",
+        "value": round(e2e, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "triples": n_triples,
+        "triples_per_sec": round(n_triples / e2e, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "kg_pipeline_scaling",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "tps_8": lo["triples_per_sec"],
+        "tps_32": hi["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+        "triples": hi["triples"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))
