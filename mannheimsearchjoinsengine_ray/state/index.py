@@ -1,0 +1,227 @@
+"""Token-sharded inverted label index (the Lucene value index re-expressed).
+
+Reference: IndexManager.indexValue (SJ/index/IndexManager.java:239-272) builds
+one Lucene doc per cell posting behind a single synchronized 1-GB-buffer
+IndexWriter; search tokenizes the query and ORs term queries with optional
+fuzzy expansion (searchIndex :290-458).
+
+New design (SURVEY §2.3): the index is DATA, not a side effect —
+
+  build:  entities Dataset → explode (alias → posting rows) → tokenize →
+          (token, entry_id, ...) posting Dataset → hash(token) % num_shards →
+          one Parquet file per shard (written in parallel, no shared writer).
+  serve:  each LinkerActor loads shard files once in __init__ into
+          dict[token] -> np.ndarray[entry ids] + idf table.  The gazetteer is
+          the SMALL side (≪ corpus) so full replication per actor is the
+          broadcast-small-side pattern; at larger gazetteer scale actors load
+          a shard subset and mentions route by their rarest token's shard
+          (documented partitioning assumption).
+
+Schema of a posting row:
+  (token, entry_id, entity_uri, name_norm, n_tokens, is_primary)
+entry_id indexes the per-shard string tables; is_primary marks the canonical
+label vs aliases (IndexEntry.isPrimaryKey analog).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.hashing import hash64
+from ..functions.normalize import clear_string, tokenize_string
+from ..functions.similarity import jaccard, levenshtein
+
+POSTING_SCHEMA = pa.schema([
+    ("token", pa.string()),
+    ("entity_uri", pa.string()),
+    ("name_norm", pa.string()),
+    ("n_tokens", pa.int32()),
+    ("is_primary", pa.bool_()),
+])
+
+
+def postings_from_entities_batch(batch: pa.Table) -> pa.Table:
+    """entities(entity_uri, label, aliases) → posting rows (one per token per
+    name variant)."""
+    uris = batch.column("entity_uri").to_pylist()
+    labels = batch.column("label").to_pylist()
+    aliases = batch.column("aliases").to_pylist() if "aliases" in batch.column_names \
+        else [[] for _ in uris]
+    cols = {n: [] for n in POSTING_SCHEMA.names}
+    for uri, label, als in zip(uris, labels, aliases):
+        names = [(label, True)] + [(a, False) for a in (als or [])]
+        seen_norms = set()
+        for name, primary in names:
+            toks = tokenize_string(name, remove_brackets=True)
+            norm = " ".join(toks)
+            if not toks or norm in seen_norms:
+                continue
+            seen_norms.add(norm)
+            for t in set(toks):
+                cols["token"].append(t)
+                cols["entity_uri"].append(uri)
+                cols["name_norm"].append(norm)
+                cols["n_tokens"].append(len(toks))
+                cols["is_primary"].append(primary)
+    return pa.Table.from_pydict(cols, schema=POSTING_SCHEMA)
+
+
+def add_shard_column(batch: pa.Table, num_shards: int) -> pa.Table:
+    shard = hash64(batch.column("token").to_pylist()) % num_shards
+    return batch.append_column("shard", pa.array(shard.astype("int32")))
+
+
+def build_index(entities_ds, index_dir: str, num_shards: int = 8) -> int:
+    """Distributed index build: postings → shard groupby → parallel shard
+    writes.  Returns the number of postings."""
+    os.makedirs(index_dir, exist_ok=True)
+    postings = entities_ds.map_batches(postings_from_entities_batch,
+                                       batch_format="pyarrow")
+    sharded = postings.map_batches(
+        lambda t: add_shard_column(t, num_shards), batch_format="pyarrow")
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        sid = int(group.column("shard")[0].as_py())
+        out = group.drop_columns(["shard"]).sort_by([("token", "ascending")])
+        tmp = os.path.join(index_dir, f"shard_{sid:04d}.parquet.tmp")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(index_dir, f"shard_{sid:04d}.parquet"))
+        return pa.table({"shard": [sid], "postings": [out.num_rows]})
+
+    stats = sharded.groupby("shard").map_groups(write_shard, batch_format="pyarrow")
+    return int(sum(r["postings"] for r in stats.take_all()))
+
+
+class LabelIndex:
+    """In-memory serving structure over the shard files (loaded once per
+    actor).  Mirrors IValueIndex (SJ/index/IValueIndex.java:7-11) with
+    TF-IDF scoring in place of Lucene BM25."""
+
+    def __init__(self, index_dir: str, shards: list[int] | None = None):
+        files = sorted(
+            os.path.join(index_dir, f) for f in os.listdir(index_dir)
+            if f.startswith("shard_") and f.endswith(".parquet")
+        )
+        if shards is not None:
+            keep = {f"shard_{s:04d}.parquet" for s in shards}
+            files = [f for f in files if os.path.basename(f) in keep]
+        if not files:
+            raise FileNotFoundError(f"no index shards under {index_dir}")
+
+        tok_uris: dict[str, list[int]] = defaultdict(list)
+        self.entries_uri: list[str] = []
+        self.entries_norm: list[str] = []
+        self.entries_ntok: list[int] = []
+        self.entries_primary: list[bool] = []
+        entry_ids: dict[tuple[str, str], int] = {}
+
+        for f in files:
+            t = pq.read_table(f)
+            for tok, uri, norm, ntok, prim in zip(
+                t.column("token").to_pylist(), t.column("entity_uri").to_pylist(),
+                t.column("name_norm").to_pylist(), t.column("n_tokens").to_pylist(),
+                t.column("is_primary").to_pylist(),
+            ):
+                key = (uri, norm)
+                eid = entry_ids.get(key)
+                if eid is None:
+                    eid = len(self.entries_uri)
+                    entry_ids[key] = eid
+                    self.entries_uri.append(uri)
+                    self.entries_norm.append(norm)
+                    self.entries_ntok.append(ntok)
+                    self.entries_primary.append(prim)
+                tok_uris[tok].append(eid)
+
+        self.postings: dict[str, np.ndarray] = {
+            t: np.array(sorted(set(ids)), dtype=np.int64)
+            for t, ids in tok_uris.items()
+        }
+        n_entries = max(1, len(self.entries_uri))
+        self.idf: dict[str, float] = {
+            t: float(np.log1p(n_entries / len(ids)))
+            for t, ids in self.postings.items()
+        }
+        # (first_char, length) buckets for bounded fuzzy expansion
+        self._fuzzy_buckets: dict[tuple[str, int], list[str]] = defaultdict(list)
+        for t in self.postings:
+            self._fuzzy_buckets[(t[0], len(t))].append(t)
+        self.entries_ntok = np.array(self.entries_ntok, dtype=np.int32)
+
+    def fuzzy_expand(self, token: str, max_edit: int = 1) -> list[str]:
+        """Vocabulary tokens within edit distance (candidates bucketed by
+        first char and length±1 — the cheap analog of Lucene's fuzzy term
+        enumeration, IndexManager.java:341-358)."""
+        out = []
+        for dl in (-1, 0, 1):
+            for cand in self._fuzzy_buckets.get((token[0], len(token) + dl), ()):
+                if cand != token and levenshtein(token, cand, max_edit) <= max_edit:
+                    out.append(cand)
+        return out
+
+    def search(self, mention: str, top_k: int = 10, fuzzy: bool = True,
+               max_edit: int = 1) -> list[tuple[str, float, str]]:
+        """→ [(entity_uri, score, matched_name_norm)] sorted by score desc.
+
+        Scoring: sum of idf over matched tokens, normalized by the larger of
+        the mention/name token counts (OR-query TF-IDF), then blended 50/50
+        with token-set Jaccard; exact normalized match pins to the top
+        (exact-mode post-filter analog, IndexManager.java:409-436)."""
+        toks = tokenize_string(mention, remove_brackets=True)
+        if not toks:
+            return []
+        norm = " ".join(toks)
+        tokset = set(toks)
+
+        acc: dict[int, float] = defaultdict(float)
+        matched: dict[int, int] = defaultdict(int)
+        for t in tokset:
+            ids = self.postings.get(t)
+            weight_tok = t
+            if ids is None and fuzzy:
+                for ft in self.fuzzy_expand(t, max_edit):
+                    fids = self.postings[ft]
+                    w = self.idf[ft] * 0.5  # fuzzy matches at half weight
+                    for eid in fids:
+                        acc[eid] += w
+                        matched[eid] += 1
+                continue
+            if ids is None:
+                continue
+            w = self.idf[weight_tok]
+            for eid in ids:
+                acc[eid] += w
+                matched[eid] += 1
+
+        results: list[tuple[str, float, str]] = []
+        for eid, s in acc.items():
+            name = self.entries_norm[eid]
+            denom = max(len(tokset), int(self.entries_ntok[eid]))
+            tfidf = s / max(1e-9, denom)
+            jac = jaccard(tokset, set(name.split()))
+            score = 0.5 * tfidf + 0.5 * jac
+            if name == norm:
+                score += 10.0  # exact normalized match dominates
+            results.append((self.entries_uri[eid], score, name))
+        results.sort(key=lambda r: (-r[1], r[0]))
+        # dedup per entity uri keeping best name (per-(value,table) dedup analog)
+        seen: set[str] = set()
+        out = []
+        for uri, score, name in results:
+            if uri in seen:
+                continue
+            seen.add(uri)
+            out.append((uri, score, name))
+            if len(out) >= top_k:
+                break
+        return out
+
+
+def clear_mention(mention: str) -> str:
+    """Canonical mention key (clearString; empty → 'null')."""
+    return clear_string(mention, remove_brackets=True)

@@ -1,0 +1,194 @@
+"""Linking (F4/F5) and canonicalization (F6) tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mannheimsearchjoinsengine_ray.config import (
+    DEFAULT_CONFIG,
+    NumericResolution,
+    PipelineConfig,
+    StringResolution,
+)
+from mannheimsearchjoinsengine_ray.sources import pages as P
+from mannheimsearchjoinsengine_ray.stages import canonicalize as C
+from mannheimsearchjoinsengine_ray.stages import extract as E
+from mannheimsearchjoinsengine_ray.stages import link as L
+from mannheimsearchjoinsengine_ray.state import index as IX
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    d = str(tmp_path_factory.mktemp("label_index"))
+    gaz = rd.from_arrow(pa.table(P.make_gazetteer(500)))
+    n = IX.build_index(gaz, d, num_shards=4)
+    assert n > 0
+    return d
+
+
+def test_index_build_sharded(index_dir):
+    import os
+
+    shards = [f for f in os.listdir(index_dir) if f.endswith(".parquet")]
+    assert len(shards) >= 2  # token-hash spread across shards
+    idx = IX.LabelIndex(index_dir)
+    assert len(idx.entries_uri) > 500  # labels + distinct alias norms
+
+
+def test_search_exact_and_fuzzy(index_dir):
+    idx = IX.LabelIndex(index_dir)
+    label = P.entity_label(42)
+    uri = P.NS + "".join(w.capitalize() for w in label.split())
+    hits = idx.search(label)
+    assert hits and hits[0][0] == uri
+    # case noise
+    assert idx.search(label.upper())[0][0] == uri
+    # typo within edit distance 1 on one token
+    words = label.split()
+    typo = " ".join([words[0][:-1] + "x"] + words[1:])
+    hits = idx.search(typo)
+    assert hits and hits[0][0] == uri
+    # garbage → no hits
+    assert idx.search("zzzqqq xxyyy") == []
+    assert idx.search("") == []
+
+
+def test_linking_top1_accuracy(ray_session, index_dir, tmp_path):
+    """F5: top-1 link accuracy >= 0.95 through the Ray actor pool."""
+    import ray.data as rd
+
+    n_pages = 60
+    corpus = str(tmp_path / "pages")
+    P.write_corpus(corpus, n_pages=n_pages, seed=42, parallelism=2)
+    pages = rd.read_parquet(corpus, columns=["url", "html"])
+    tables = pages.map_batches(E.TableExtractor(DEFAULT_CONFIG), batch_format="pyarrow")
+    mentions = tables.map_batches(L.mentions_from_tables_batch, batch_format="pyarrow")
+    cfg = PipelineConfig(linker_concurrency=2)
+    edges = L.link_mentions(mentions, index_dir, cfg)
+    top1 = L.top1_links(edges).to_pandas()
+
+    gold = []
+    for pid in range(n_pages):
+        gold.extend(P.golden_links_for_page(P.make_page_spec(pid)))
+    gold_df = pd.DataFrame(gold, columns=["url", "table_idx", "row_idx",
+                                          "mention", "entity_uri"])
+    merged = gold_df.merge(top1, on=["url", "table_idx", "row_idx"],
+                           suffixes=("_gold", "_got"), how="left")
+    acc = (merged["entity_uri_gold"] == merged["entity_uri_got"]).mean()
+    assert acc >= 0.95, f"top-1 accuracy {acc}"
+
+
+def test_edge_aggregation(ray_session, index_dir):
+    import ray.data as rd
+
+    mentions = pa.table({
+        "url": ["u"] * 4, "table_idx": pa.array([0] * 4, pa.int32()),
+        "row_idx": pa.array(list(range(4)), pa.int32()),
+        "mention": [P.entity_label(i) for i in range(4)],
+    })
+    edges = L.link_mentions(rd.from_arrow(mentions), index_dir,
+                            PipelineConfig(linker_concurrency=1))
+    agg = L.aggregate_edges(L.top1_links(edges), left_total_mentions=4).to_pandas()
+    assert {"entity_group", "count", "total_rank"} <= set(agg.columns)
+    assert agg["count"].sum() == 4
+
+
+class TestConnectedComponents:
+    EDGES = pd.DataFrame({
+        "left_id": ["a", "b", "x", "p", "p", "p"],
+        "right_id": ["b", "c", "y", "q", "r", "s"],
+    })
+
+    def test_local(self):
+        comp = C.connected_components_local(self.EDGES)
+        m = dict(zip(comp["id"], comp["component"]))
+        assert m["a"] == m["b"] == m["c"] == "a"   # chain merges
+        assert m["x"] == m["y"] == "x"
+        assert m["p"] == m["q"] == m["r"] == m["s"] == "p"  # star/hot key
+
+    def test_distributed_matches_local(self, ray_session):
+        import ray.data as rd
+
+        local = C.connected_components_local(self.EDGES)
+        dist = C.connected_components_distributed(
+            rd.from_pandas(self.EDGES), num_partitions=2).to_pandas()
+        a = local.sort_values("id").reset_index(drop=True)
+        b = dist.sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestResolution:
+    def test_string_voting(self):
+        assert C.resolve_string(["x", "y", "x"], StringResolution.voting) == "x"
+        assert C.resolve_string(["b", "a"], StringResolution.voting) == "a"  # tie → sorted
+        assert C.resolve_string(["ab", "abc"], StringResolution.longest) == "abc"
+        assert C.resolve_string(["null", ""], StringResolution.voting) == "null"
+
+    def test_numeric(self):
+        assert C.resolve_numeric([1, 2, 100], NumericResolution.median) == 2
+        assert C.resolve_numeric([1, 2, 3], NumericResolution.average) == 2
+        assert C.resolve_numeric([5, 5, 7], NumericResolution.voting) == 5
+
+    def test_resolve_components_ds(self, ray_session):
+        import ray.data as rd
+
+        vals = pd.DataFrame({
+            "component": ["c1", "c1", "c1", "c2", "c2"],
+            "value": ["red", "red", "rouge", "10", "20"],
+        })
+        out = C.resolve_components(rd.from_pandas(vals), "string").to_pandas()
+        m = dict(zip(out["component"], out["canonical_value"]))
+        assert m["c1"] == "red"
+
+
+def test_lsh_blocking_finds_near_dups(ray_session):
+    import ray.data as rd
+
+    names = [
+        ("e1", "Grand Hotel Budapest"),
+        ("e2", "Grand Hotel Budapest"),       # exact dup
+        ("e3", "The Grand Hotel Budapest"),   # near dup
+        ("e4", "completely different thing"),
+        ("e5", "another unrelated name here"),
+    ]
+    ds = rd.from_arrow(pa.table({"id": [n[0] for n in names],
+                                 "name": [n[1] for n in names]}))
+    blocked = ds.map_batches(C.LshBlocker, batch_format="pyarrow", concurrency=1)
+    pairs = C.candidate_pairs(blocked)
+    verified = C.verify_pairs(pairs, min_jaccard=0.5).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(verified["left_id"], verified["right_id"])}
+    assert ("e1", "e2") in found
+    assert ("e1", "e3") in found or ("e2", "e3") in found
+    assert not any("e4" in p or "e5" in p for p in found)
+
+
+def test_canonicalize_triples_rewrites_subjects(ray_session):
+    import ray.data as rd
+
+    rows = []
+    for subj, label in [
+        ("http://x/GrandHotel", "Grand Hotel"),
+        ("http://x/TheGrandHotel", "The Grand Hotel"),
+        ("http://x/Unrelated", "Totally Different Entity"),
+    ]:
+        rows.append({"subj": subj, "pred": "http://www.w3.org/2000/01/rdf-schema#label",
+                     "obj": label, "obj_type": "string", "source_url": "u"})
+    rows.append({"subj": "http://x/TheGrandHotel", "pred": "http://x/seeAlso",
+                 "obj": "http://x/GrandHotel", "obj_type": "uri", "source_url": "u"})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    cfg = PipelineConfig(fuzzy_min_confidence=0.6)
+    out = C.canonicalize_triples(ds, cfg).to_pandas()
+    subs = set(out["subj"])
+    # both near-dup subjects collapse to the lexicographic min
+    assert "http://x/TheGrandHotel" not in subs
+    assert "http://x/GrandHotel" in subs
+    assert "http://x/Unrelated" in subs
+    # uri objects rewritten too
+    see = out[out["pred"] == "http://x/seeAlso"]
+    assert (see["obj"] == "http://x/GrandHotel").all()
