@@ -350,6 +350,85 @@ def q_kg_extract_text(sf_dir: str):
     return extract_text_ds(corpus_for(sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# dedup / ANN / multimodal operators
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(sf_dir: str):
+    """Exact cosine top-5 for the first 20 vectors (brute-force baseline:
+    broadcast query matrix, per-batch partial top-k, bounded driver merge).
+    SQL-oracled via DuckDB list_cosine_similarity; ranks integer-compared."""
+    from ..stages.ann import knn_brute
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = emb.filter(lambda r: r["vec_id"] < 20).to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    res = knn_brute(emb, np.stack(qdf["embedding"].to_numpy()), k=5,
+                    query_ids=qdf["vec_id"].to_numpy())
+    return res[["query_id", "neighbor_id", "rank"]]
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF ANN (centroid-partitioned probe).  Rows-only oracle; recall vs the
+    brute-force baseline is asserted in tests."""
+    from ..stages.ann import knn_ivf
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = emb.filter(lambda r: r["vec_id"] < 20).to_pandas().sort_values("vec_id")
+    res = knn_ivf(emb, np.stack(qdf["embedding"].to_numpy()), k=5,
+                  n_centroids=16, nprobe=4, query_ids=qdf["vec_id"].to_numpy())
+    return res[["query_id", "neighbor_id", "rank"]]
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash-LSH near-dedup over documents → (id, component) for every doc.
+    Rows-only oracle."""
+    from ..stages.dedup import assign_components, minhash_dedup_pairs
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    pairs = minhash_dedup_pairs(docs, min_jaccard=0.5)
+    all_ids = docs.unique("doc_id")
+    return assign_components(pairs, all_ids=all_ids)
+
+
+def q_simhash_dedup(sf_dir: str):
+    """SimHash near-dup pairs (Hamming <= 3 via 16-bit chunk banding).
+    Rows-only oracle."""
+    from ..stages.dedup import simhash_dedup_pairs
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    df = simhash_dedup_pairs(docs, max_hamming=3).to_pandas()
+    return df[["left_id", "right_id", "hamming"]] if len(df) else pd.DataFrame(
+        {"left_id": pd.Series(dtype="int64"),
+         "right_id": pd.Series(dtype="int64"),
+         "hamming": pd.Series(dtype="int64")})
+
+
+def q_embedding_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (hyperplane-LSH blocked).
+    Rows-only oracle."""
+    from ..stages.dedup import embedding_dedup_pairs
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = embedding_dedup_pairs(emb, min_cosine=0.9).to_pandas()
+    if df.empty:
+        return pd.DataFrame({"left_id": pd.Series(dtype="int64"),
+                             "right_id": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    return df
+
+
+def q_multimodal_decode(sf_dir: str):
+    """Multimodal plumbing: fake media batch through the decode actor pool.
+    Rows-only oracle (codec stubbed — no image libs in this container)."""
+    import ray.data as rd
+
+    from ..stages.multimodal import decode_features, make_fake_media
+
+    media = rd.from_arrow(make_fake_media(64, seed=42))
+    return decode_features(media, deterministic_fake=True).to_pandas()
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -427,6 +506,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM part GROUP BY p_type
     """,
     "distinct_brands": "SELECT DISTINCT p_brand FROM part",
+    "ann_topk": """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < 20)
+        SELECT query_id, vec_id AS neighbor_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(qe, embedding) DESC, vec_id
+               ) - 1 AS INTEGER) AS rank
+        FROM q CROSS JOIN embeddings
+        QUALIFY rank < 5
+    """,
     "token_counts": """
         SELECT doc_id,
                len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_tokens
@@ -465,4 +555,10 @@ QUERIES: dict = {
     "language_id": q_language_id,
     "kg_triples": q_kg_triples,
     "kg_extract_text": q_kg_extract_text,
+    "ann_topk": q_ann_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "embedding_neardup": q_embedding_neardup,
+    "multimodal_decode": q_multimodal_decode,
 }

@@ -1,0 +1,159 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — a numpy matmul per batch against a
+broadcast query matrix (ray.put once, read in every task), partial top-k per
+batch, exact merge on the driver (k × #batches rows, bounded).
+
+Scale path: IVF — coarse centroids (deterministic k-means on a sample),
+vectors partitioned by nearest centroid; a query probes only the ``nprobe``
+closest centroid partitions.  Partitioning assumption: vectors co-locate by
+centroid id (the Dataset carries the assignment; at real scale the output is
+written partitioned by centroid so probes prune at the read).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _unit(m: np.ndarray, dtype=np.float32) -> np.ndarray:
+    m = np.asarray(m, dtype=dtype)
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def knn_brute(emb_ds, query_matrix: np.ndarray, k: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              query_ids: np.ndarray | None = None) -> pd.DataFrame:
+    """Exact cosine top-k: → (query_id, neighbor_id, cosine, rank)."""
+    import ray
+
+    q = _unit(query_matrix, dtype=np.float64)
+    q_ref = ray.put(q)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)                       # (Q, d) — broadcast once
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        vecs = _unit(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        sims = qm @ vecs.T                        # (Q, n)
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows_q, rows_id, rows_s = [], [], []
+        for qi in range(qm.shape[0]):
+            sel = top[qi]
+            rows_q.extend([qi] * len(sel))
+            rows_id.extend(ids[sel].tolist())
+            rows_s.extend(sims[qi, sel].tolist())
+        return pa.table({
+            "query_idx": pa.array(rows_q, pa.int32()),
+            "neighbor_id": pa.array(rows_id),
+            "cosine": pa.array(rows_s, pa.float64()),
+        })
+
+    partials = emb_ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    out = []
+    for qi, g in partials.groupby("query_idx"):
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(len(g), dtype=np.int32))
+        out.append(g)
+    res = pd.concat(out, ignore_index=True)
+    if query_ids is not None:
+        res["query_id"] = np.asarray(query_ids)[res["query_idx"]]
+    else:
+        res["query_id"] = res["query_idx"]
+    return res[["query_id", "neighbor_id", "cosine", "rank"]]
+
+
+# ---------------------------------------------------------------------------
+# IVF
+# ---------------------------------------------------------------------------
+
+def train_centroids(sample: np.ndarray, n_centroids: int, iters: int = 10,
+                    seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample."""
+    rng = np.random.default_rng(seed)
+    x = _unit(np.asarray(sample, dtype=np.float32))
+    idx = rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)
+    c = x[idx].copy()
+    for _ in range(iters):
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(len(c)):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c = _unit(c)
+    return c
+
+
+def assign_centroids(emb_ds, centroids: np.ndarray,
+                     id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Adds a ``centroid`` column (the IVF partitioning key)."""
+    import ray
+
+    c_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        vecs = _unit(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32))
+        a = (vecs @ c.T).argmax(axis=1).astype("int32")
+        return batch.append_column("centroid", pa.array(a))
+
+    return emb_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def knn_ivf(emb_ds, query_matrix: np.ndarray, k: int = 5, n_centroids: int = 16,
+            nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+            query_ids: np.ndarray | None = None,
+            sample_size: int = 2048) -> pd.DataFrame:
+    """IVF ANN: probe only the nprobe nearest centroid partitions per query."""
+    import ray
+
+    sample = emb_ds.random_sample(
+        min(1.0, sample_size / max(1, emb_ds.count())), seed=42).to_pandas()
+    cents = train_centroids(np.stack(sample[vec_col].to_numpy()), n_centroids)
+    assigned = assign_centroids(emb_ds, cents, id_col, vec_col)
+
+    q = _unit(np.asarray(query_matrix, dtype=np.float32))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]   # (Q, nprobe)
+    q_ref = ray.put(q)
+    probe_ref = ray.put(probe)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm, pr = ray.get(q_ref), ray.get(probe_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist())
+        cent = np.asarray(batch.column("centroid").to_pylist())
+        vecs = _unit(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32))
+        rows_q, rows_id, rows_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(cent, pr[qi])
+            if not mask.any():
+                continue
+            sims = vecs[mask] @ qm[qi]
+            sub_ids = ids[mask]
+            kk = min(k, len(sims))
+            sel = np.argpartition(-sims, kk - 1)[:kk]
+            rows_q.extend([qi] * kk)
+            rows_id.extend(sub_ids[sel].tolist())
+            rows_s.extend(sims[sel].tolist())
+        return pa.table({
+            "query_idx": pa.array(rows_q, pa.int32()),
+            "neighbor_id": pa.array(rows_id),
+            "cosine": pa.array(rows_s, pa.float64()),
+        })
+
+    partials = assigned.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for qi, g in partials.groupby("query_idx"):
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(len(g), dtype=np.int32))
+        out.append(g)
+    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        columns=["query_idx", "neighbor_id", "cosine", "rank"])
+    if query_ids is not None:
+        res["query_id"] = np.asarray(query_ids)[res["query_idx"].astype(int)]
+    else:
+        res["query_id"] = res["query_idx"]
+    return res[["query_id", "neighbor_id", "cosine", "rank"]]

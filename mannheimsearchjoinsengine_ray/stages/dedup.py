@@ -1,0 +1,277 @@
+"""Deduplication suite for training-data pipelines (SURVEY brief):
+
+  * exact           — content hash → groupby(hash) → first (also available as
+                      the SQL-oracled ``exact_dedup`` query)
+  * MinHash + LSH   — word-shingle signatures → band buckets → groupby(band)
+                      candidates → true-Jaccard verify → connected components
+  * SimHash         — 64-bit simhash, banded into 4×16-bit chunks for
+                      candidate generation → Hamming verify
+  * n-gram Jaccard  — char-n-gram Jaccard verification over LSH candidates
+  * embedding cosine— random-hyperplane bucketing → within-bucket matmul →
+                      cosine ≥ τ pairs
+
+Every variant ends in the same shape: verified pair Dataset → components →
+(id, component) assignment; ids equal to their component are the kept
+representatives.  All shuffles key on bounded-size sketch values; oversized
+buckets degrade to star-pairing (see canonicalize.candidate_pairs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import hashing
+from ..functions.similarity import jaccard, ngrams_in_bounds
+from .canonicalize import candidate_pairs, connected_components_local
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    h = hashing.hash64(batch.column(text_col).to_pylist()).astype("int64")
+    return batch.append_column("content_hash", pa.array(h))
+
+
+def exact_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
+    """(id, content_hash, keep) — keep = id is the group minimum."""
+    from ray.data.aggregate import Min
+
+    hashed = docs_ds.map_batches(
+        lambda t: add_content_hash(t, text_col), batch_format="pyarrow")
+    firsts = hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name="keep_id"))
+    return firsts
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dedup
+# ---------------------------------------------------------------------------
+
+class DocShingler:
+    """(id, text) → LSH band rows over word k-shingles.  Stateful stage:
+    permutation tables compile once per worker."""
+
+    def __init__(self, num_perm: int = 128, num_bands: int = 32, k: int = 3,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.mh = hashing.MinHasher(num_perm=num_perm)
+        self.num_bands = num_bands
+        self.k = k
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        hashes = [hashing.word_shingle_hashes((t or "").split(), self.k)
+                  for t in texts]
+        sigs = self.mh.signatures(hashes)
+        bk = hashing.band_keys(sigs, self.num_bands)
+        n = len(ids)
+        return pa.table({
+            "band_idx": pa.array(np.repeat(np.arange(self.num_bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bk.T.reshape(-1).astype("int64")),
+            "id": pa.array(np.tile(np.array(ids), self.num_bands)),
+            "name": pa.array(np.tile(np.array(texts, dtype=object), self.num_bands)),
+        })
+
+
+def _verify_jaccard_shingles(pairs_df: pd.DataFrame, k: int,
+                             min_jaccard: float) -> pd.DataFrame:
+    if pairs_df.empty:
+        return pairs_df.assign(jaccard=pd.Series(dtype=float))
+    jac = []
+    for ln, rn in zip(pairs_df["left_name"], pairs_df["right_name"]):
+        lt, rt = (ln or "").split(), (rn or "").split()
+        ls = set(zip(*[lt[i:] for i in range(k)])) if len(lt) >= k else {tuple(lt)}
+        rs = set(zip(*[rt[i:] for i in range(k)])) if len(rt) >= k else {tuple(rt)}
+        jac.append(jaccard(ls, rs))
+    out = pairs_df.assign(jaccard=jac)
+    return out[out["jaccard"] >= min_jaccard]
+
+
+def minhash_dedup_pairs(docs_ds, min_jaccard: float = 0.7, num_perm: int = 128,
+                        num_bands: int = 32, k: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Verified near-duplicate pairs (left_id, right_id, jaccard)."""
+    blocked = docs_ds.map_batches(
+        DocShingler,
+        fn_constructor_kwargs={"num_perm": num_perm, "num_bands": num_bands,
+                               "k": k, "id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow", concurrency=2)
+    pairs = candidate_pairs(blocked)
+    return pairs.map_batches(
+        lambda df: _verify_jaccard_shingles(df, k, min_jaccard),
+        batch_format="pandas")
+
+
+def assign_components(pairs_ds, all_ids=None) -> pd.DataFrame:
+    """Pairs → (id, component).  Ids not in any pair map to themselves when
+    ``all_ids`` is given."""
+    df = pairs_ds.to_pandas() if hasattr(pairs_ds, "to_pandas") else pairs_ds
+    if df.empty:
+        comp = pd.DataFrame({"id": [], "component": []})
+    else:
+        comp = connected_components_local(df[["left_id", "right_id"]])
+    if all_ids is not None:
+        extra = sorted(set(all_ids) - set(comp["id"]))
+        comp = pd.concat([comp, pd.DataFrame({"id": extra, "component": extra})],
+                         ignore_index=True)
+    return comp.sort_values("id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup
+# ---------------------------------------------------------------------------
+
+class SimHasher:
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        sims = np.array(
+            [hashing.simhash64(hashing.hash64((t or "").split() or [""]))
+             for t in texts], dtype=np.uint64)
+        return pa.table({
+            "id": pa.array(ids),
+            "simhash": pa.array(sims.astype("int64")),
+        })
+
+
+def simhash_dedup_pairs(docs_ds, max_hamming: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """SimHash banding: 4 chunks of 16 bits — two docs within Hamming ≤ 3 of
+    each other share at least one exact chunk (pigeonhole) → groupby(chunk)
+    candidates → Hamming verify."""
+    sims = docs_ds.map_batches(
+        SimHasher, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow", concurrency=2)
+
+    def explode_chunks(t: pa.Table) -> pa.Table:
+        ids = t.column("id").to_pylist()
+        sh = np.array(t.column("simhash").to_pylist(), dtype=np.int64).astype(np.uint64)
+        n = len(ids)
+        out_idx, out_chunk, out_id, out_sim = [], [], [], []
+        for c in range(4):
+            chunk = ((sh >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype("int64")
+            out_idx.extend([c] * n)
+            out_chunk.extend(chunk.tolist())
+            out_id.extend(ids)
+            out_sim.extend(sh.astype("int64").tolist())
+        return pa.table({
+            "band_idx": pa.array(out_idx, pa.int32()),
+            "band_hash": pa.array(out_chunk, pa.int64()),
+            "id": pa.array(out_id),
+            "name": pa.array([str(s) for s in out_sim], pa.string()),
+        })
+
+    pairs = candidate_pairs(sims.map_batches(explode_chunks, batch_format="pyarrow"))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(hamming=pd.Series(dtype=int))
+        l = df["left_name"].astype(np.uint64)
+        r = df["right_name"].astype(np.uint64)
+        ham = hashing.hamming_distance64(l.to_numpy(), r.to_numpy())
+        out = df.assign(hamming=ham)
+        return out[out["hamming"] <= max_hamming]
+
+    return pairs.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# char-n-gram Jaccard near-dedup (different verifier over the same blocking)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs_ds, min_jaccard: float = 0.6,
+                        min_n: int = 2, max_n: int = 4,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """LSH-blocked candidates verified by char 2-4-gram Jaccard — the
+    reference's string similarity (InstanceBasedComparer.java:556-575) at
+    document granularity."""
+    blocked = docs_ds.map_batches(
+        DocShingler,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
+                               "num_perm": 128, "num_bands": 32},
+        batch_format="pyarrow", concurrency=2)
+    pairs = candidate_pairs(blocked)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(jaccard=pd.Series(dtype=float))
+        jac = [jaccard(set(ngrams_in_bounds(ln or "", min_n, max_n)),
+                       set(ngrams_in_bounds(rn or "", min_n, max_n)))
+               for ln, rn in zip(df["left_name"], df["right_name"])]
+        out = df.assign(jaccard=jac)
+        return out[out["jaccard"] >= min_jaccard]
+
+    return pairs.map_batches(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dedup
+# ---------------------------------------------------------------------------
+
+class HyperplaneBucketer:
+    """Random-hyperplane LSH for unit vectors: 16 signed projections → 16-bit
+    bucket; near-identical vectors share buckets with high probability.
+    Multiple independent tables (bands) boost recall."""
+
+    def __init__(self, dim: int, num_tables: int = 4, bits: int = 12, seed: int = 42,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((num_tables, bits, dim)).astype(np.float32)
+        self.num_tables = num_tables
+        self.bits = bits
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        vecs = np.asarray(batch.column(self.vec_col).to_pylist(), dtype=np.float32)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = vecs / np.maximum(norms, 1e-12)
+        n = len(ids)
+        out_idx, out_bucket, out_id, out_vec = [], [], [], []
+        weights = (1 << np.arange(self.bits)).astype(np.int64)
+        for t in range(self.num_tables):
+            proj = unit @ self.planes[t].T            # (n, bits)
+            bucket = ((proj > 0).astype(np.int64) * weights).sum(axis=1)
+            out_idx.extend([t] * n)
+            out_bucket.extend(bucket.tolist())
+            out_id.extend(ids)
+            out_vec.extend(unit.tolist())
+        return pa.table({
+            "band_idx": pa.array(out_idx, pa.int32()),
+            "band_hash": pa.array(out_bucket, pa.int64()),
+            "id": pa.array(out_id),
+            "name": pa.array([",".join(f"{x:.6f}" for x in v) for v in out_vec],
+                             pa.string()),
+        })
+
+
+def embedding_dedup_pairs(emb_ds, min_cosine: float = 0.95, dim: int = 64,
+                          id_col: str = "vec_id", vec_col: str = "embedding"):
+    blocked = emb_ds.map_batches(
+        HyperplaneBucketer,
+        fn_constructor_kwargs={"dim": dim, "id_col": id_col, "vec_col": vec_col},
+        batch_format="pyarrow", concurrency=2)
+    pairs = candidate_pairs(blocked, max_block=200)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(cosine=pd.Series(dtype=float))
+        lv = np.array([np.fromstring(s, sep=",") for s in df["left_name"]])
+        rv = np.array([np.fromstring(s, sep=",") for s in df["right_name"]])
+        cos = (lv * rv).sum(axis=1)
+        out = df.assign(cosine=cos)
+        out = out[out["cosine"] >= min_cosine]
+        return out[["left_id", "right_id", "cosine"]]
+
+    return pairs.map_batches(verify, batch_format="pandas")

@@ -1,0 +1,173 @@
+"""Dedup suite + ANN + multimodal plumbing tests (planted duplicates)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mannheimsearchjoinsengine_ray.stages import ann as A
+from mannheimsearchjoinsengine_ray.stages import dedup as D
+from mannheimsearchjoinsengine_ray.stages import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def planted_docs(ray_session):
+    """40 distinct docs + 3 planted near-dup groups."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+             "hotel", "india", "juliet", "kilo", "lima", "mike", "november"]
+    texts, ids = [], []
+    for i in range(40):
+        words = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(30)]
+        texts.append(" ".join(words))
+        ids.append(i)
+    base = texts[0]
+    texts.append(base)                                   # 40: exact dup of 0
+    texts.append(base.replace("alpha", "alphaX", 1))     # 41: near dup of 0
+    b2 = texts[5]
+    texts.append(b2 + " extra tail words here")          # 42: near dup of 5
+    ids.extend([40, 41, 42])
+    return rd.from_arrow(pa.table({"doc_id": ids, "text": texts})), ids
+
+
+def test_exact_dedup(ray_session, planted_docs):
+    docs, ids = planted_docs
+    firsts = D.exact_dedup(docs).to_pandas()
+    # 43 rows, one exact dup pair → 42 distinct hashes
+    assert len(firsts) == 42
+    assert 40 not in set(firsts["keep_id"])  # 0 kept, 40 dropped
+
+
+def test_minhash_dedup_finds_planted(ray_session, planted_docs):
+    docs, ids = planted_docs
+    pairs = D.minhash_dedup_pairs(docs, min_jaccard=0.6).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["left_id"], pairs["right_id"])}
+    assert (0, 40) in found
+    assert (0, 41) in found
+    assert (5, 42) in found
+    comp = D.assign_components(pairs, all_ids=ids)
+    m = dict(zip(comp["id"], comp["component"]))
+    assert m[0] == m[40] == m[41] == 0
+    assert m[5] == m[42] == 5
+    # a doc with no dup maps to itself
+    assert m[17] == 17
+
+
+def test_simhash_dedup(ray_session, planted_docs):
+    docs, ids = planted_docs
+    pairs = D.simhash_dedup_pairs(docs, max_hamming=4).to_pandas()
+    found = {tuple(sorted((int(a), int(b))))
+             for a, b in zip(pairs["left_id"], pairs["right_id"])}
+    assert (0, 40) in found  # identical text → hamming 0
+    if (0, 41) in found:     # one-token change usually within hamming 4
+        pass
+
+
+def test_ngram_jaccard_pairs(ray_session, planted_docs):
+    docs, ids = planted_docs
+    pairs = D.ngram_jaccard_pairs(docs, min_jaccard=0.7).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["left_id"], pairs["right_id"])}
+    assert (0, 40) in found and (0, 41) in found
+
+
+def test_embedding_dedup(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((60, 32)).astype(np.float32)
+    vecs[50] = vecs[10] + rng.standard_normal(32).astype(np.float32) * 0.01
+    vecs[51] = vecs[10]  # exact
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(60)),
+        "embedding": [v.tolist() for v in vecs],
+    }))
+    pairs = D.embedding_dedup_pairs(ds, min_cosine=0.95, dim=32).to_pandas()
+    found = {tuple(sorted((int(a), int(b))))
+             for a, b in zip(pairs["left_id"], pairs["right_id"])}
+    assert (10, 51) in found
+    assert (10, 50) in found
+
+
+def test_ann_brute_vs_numpy(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({"vec_id": list(range(200)),
+                                 "embedding": [v.tolist() for v in vecs]}))
+    q = vecs[:3]
+    res = A.knn_brute(ds, q, k=4, query_ids=np.arange(3))
+    # ground truth in pure numpy
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qq = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qq.astype(np.float64) @ unit.astype(np.float64).T
+    for qi in range(3):
+        expect = set(np.argsort(-sims[qi])[:4].tolist())
+        got = set(res[res["query_id"] == qi]["neighbor_id"].tolist())
+        assert got == expect
+
+
+def test_ann_ivf_recall(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    # clustered data (IVF's favorable regime, like the labeled embeddings table)
+    centers = rng.standard_normal((8, 32)).astype(np.float32) * 3
+    vecs = np.concatenate([
+        centers[i % 8] + rng.standard_normal((1, 32)).astype(np.float32)
+        for i in range(400)
+    ])
+    ds = rd.from_arrow(pa.table({"vec_id": list(range(400)),
+                                 "embedding": [v.tolist() for v in vecs]}))
+    q = vecs[:10]
+    brute = A.knn_brute(ds, q, k=5, query_ids=np.arange(10))
+    ivf = A.knn_ivf(ds, q, k=5, n_centroids=8, nprobe=3,
+                    query_ids=np.arange(10))
+    recalls = []
+    for qi in range(10):
+        b = set(brute[brute["query_id"] == qi]["neighbor_id"])
+        v = set(ivf[ivf["query_id"] == qi]["neighbor_id"])
+        recalls.append(len(b & v) / len(b))
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+class TestMultimodal:
+    def test_decode_fake_deterministic(self, ray_session):
+        import ray.data as rd
+
+        media = rd.from_arrow(M.make_fake_media(20, seed=1))
+        f1 = M.decode_features(media, deterministic_fake=True).to_pandas()
+        f2 = M.decode_features(rd.from_arrow(M.make_fake_media(20, seed=1)),
+                               deterministic_fake=True).to_pandas()
+        assert len(f1) == 20
+        a = f1.sort_values("media_id")["features"].tolist()
+        b = f2.sort_values("media_id")["features"].tolist()
+        assert all(list(x) == list(y) for x, y in zip(a, b))
+
+    def test_decoder_stub_raises(self):
+        dec = M.ImageDecoder(deterministic_fake=False)
+        with pytest.raises(NotImplementedError):
+            dec(M.make_fake_media(1))
+
+    def test_resize_and_frames(self, ray_session):
+        import ray.data as rd
+
+        media = rd.from_arrow(M.make_fake_media(8, media_type="video"))
+        resized = media.map_batches(
+            M.ImageResizer, fn_constructor_kwargs={"deterministic_fake": True},
+            batch_format="pyarrow", batch_size=M.MEDIA_BATCH_SIZE,
+            concurrency=1).to_pandas()
+        assert (resized["width"] == 32).all()
+        assert resized["payload"].map(len).eq(32 * 24).all()
+
+        frames = media.map_batches(
+            M.FrameSampler, fn_constructor_kwargs={"deterministic_fake": True,
+                                                   "num_frames": 4},
+            batch_format="pyarrow", batch_size=M.MEDIA_BATCH_SIZE,
+            concurrency=1).to_pandas()
+        assert len(frames) == 8 * 4
+        assert set(frames["frame_idx"]) == {0, 1, 2, 3}
