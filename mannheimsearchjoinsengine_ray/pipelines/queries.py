@@ -410,7 +410,9 @@ def q_embedding_neardup(sf_dir: str):
     from ..stages.dedup import embedding_dedup_pairs
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    df = embedding_dedup_pairs(emb, min_cosine=0.9).to_pandas()
+    # the synthetic embeddings have no true near-dups (max pairwise
+    # cosine ~0.51) — 0.45 exercises the operator on the cluster structure
+    df = embedding_dedup_pairs(emb, min_cosine=0.45).to_pandas()
     if df.empty:
         return pd.DataFrame({"left_id": pd.Series(dtype="int64"),
                              "right_id": pd.Series(dtype="int64"),

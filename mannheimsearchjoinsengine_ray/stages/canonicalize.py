@@ -81,8 +81,12 @@ def candidate_pairs(blocked_ds, max_block: int = 50):
         ids = g["id"].tolist()
         names = g["name"].tolist()
         if len(ids) < 2:
-            return pd.DataFrame({"left_id": [], "right_id": [],
-                                 "left_name": [], "right_name": []})
+            return pd.DataFrame({
+                "left_id": pd.Series(dtype=group["id"].dtype),
+                "right_id": pd.Series(dtype=group["id"].dtype),
+                "left_name": pd.Series(dtype="string"),
+                "right_name": pd.Series(dtype="string"),
+            })
         L, R, LN, RN = [], [], [], []
         if len(ids) <= max_block:
             for i in range(len(ids)):
