@@ -53,10 +53,10 @@ def run_bench() -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)
 
     t0 = time.perf_counter()
-    metrics = kg.run_resumable(corpus, out_dir, num_shards=1,
-                               partitions_per_shard=max(4, NUM_CPUS // 2))
+    metrics = kg.run_full(corpus, out_dir, num_shards=1,
+                          partitions_per_shard=max(8, NUM_CPUS * 2))
     e2e = time.perf_counter() - t0
-    n_triples = metrics["rows_written"]
+    n_triples = metrics["final_rows"]
 
     qtimes: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -76,24 +76,36 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "triples": n_triples,
         "triples_per_sec": round(n_triples / e2e, 1),
+        "phase_sec": {k: round(v, 2) for k, v in metrics.items()
+                      if k.endswith("_sec")},
     }
 
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # larger input for the scaling runs: fixed per-stage overheads
+        # (actor startup, shuffle scheduling) amortize, so the measurement
+        # reflects the compute/shuffle scaling, not constant costs
+        env.setdefault("GRAFT_BENCH_PAGES", "40000")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
-    lo, hi = one(8), one(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    # 4 vs 16: a 4x parallelism factor that stays within this container's
+    # ~16 PHYSICAL cores (num_cpus=32 oversubscribes logical CPUs and cannot
+    # be 4x of 8 on this hardware; see BASELINE.md measurement protocol)
+    lo_n = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi_n = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    lo, hi = one(lo_n), one(hi_n)
+    eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
     return {
         "metric": "kg_pipeline_scaling",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "tps_8": lo["triples_per_sec"],
-        "tps_32": hi["triples_per_sec"],
+        f"sec_{lo_n}": lo["value"],
+        f"sec_{hi_n}": hi["value"],
+        f"tps_{lo_n}": lo["triples_per_sec"],
+        f"tps_{hi_n}": hi["triples_per_sec"],
+        "cpus": [lo_n, hi_n],
         "scaling_efficiency": round(eff, 3),
         "sf": SF_DIR,
         "triples": hi["triples"],

@@ -37,13 +37,17 @@ def read_pages(path: str, columns: list[str] | None = None):
 
 
 def extract_tables_ds(pages, cfg: PipelineConfig = DEFAULT_CONFIG):
+    # batch_size=None → one task per input block: page blocks are file-sized
+    # (hundreds of rows, tens of MB of HTML); a row-count batch target would
+    # make Ray bundle many blocks into one task and cap the stage's
+    # parallelism at (#blocks / bundle) tasks
     ex = TableExtractor(cfg)
-    return pages.map_batches(ex, batch_format="pyarrow", batch_size=cfg.batch_size)
+    return pages.map_batches(ex, batch_format="pyarrow", batch_size=None)
 
 
 def triples_ds(tables, cfg: PipelineConfig = DEFAULT_CONFIG):
     return tables.map_batches(triples_from_tables_batch, batch_format="pyarrow",
-                              batch_size=cfg.batch_size)
+                              batch_size=None)
 
 
 def pages_to_triples(pages_path: str, cfg: PipelineConfig = DEFAULT_CONFIG):
@@ -159,6 +163,183 @@ def run_resumable(pages_path: str, out_dir: str,
         ran += 1
         if fail_after_shards is not None and ran >= fail_after_shards:
             raise RuntimeError(f"injected failure after {ran} shards")
+    metrics["wall_sec"] = time.time() - t0
+    return metrics
+
+
+def run_full(pages_path: str, out_dir: str,
+             cfg: PipelineConfig = DEFAULT_CONFIG,
+             num_shards: int | None = None,
+             partitions_per_shard: int = 4,
+             num_entities: int = 500,
+             canonicalize: bool = True) -> dict:
+    """The complete north-rule flow with checkpoints at every stage boundary:
+
+      phase 0  label-index build from the gazetteer (manifested, skipped on
+               resume)
+      phase 1  per input shard: extract → triples → link → write triples
+               partitions + edges parquet + shard manifest (resumable)
+      phase 2  global canonicalization over all phase-1 triples (LSH blocking
+               → connected components → URI rewrite) → final sorted
+               partitioned materialize under out/final (manifested)
+    """
+    import ray.data as rd
+
+    from ..sources.pages import make_gazetteer
+    from ..stages.canonicalize import canonicalize_triples
+    from ..stages.link import link_mentions, mentions_from_tables_batch, top1_links
+    from ..state.index import build_index
+    import pyarrow as _pa
+
+    os.makedirs(out_dir, exist_ok=True)
+    metrics: dict = {}
+    t0 = time.time()
+
+    # --- phase 0: label index ---
+    index_dir = os.path.join(out_dir, "label_index")
+    index_manifest = os.path.join(out_dir, "index_manifest.json")
+    if not os.path.exists(index_manifest):
+        gaz = rd.from_arrow(_pa.table(make_gazetteer(num_entities)))
+        n_postings = build_index(gaz, index_dir, num_shards=cfg.num_index_shards)
+        with open(index_manifest + ".tmp", "w") as fh:
+            json.dump({"postings": n_postings, "entities": num_entities}, fh)
+        os.replace(index_manifest + ".tmp", index_manifest)
+    metrics["index_sec"] = time.time() - t0
+
+    # --- phase 1: sharded extract + triples + link ---
+    frags = list_page_fragments(pages_path)
+    if num_shards is None:
+        num_shards = len(frags)
+    shards: list[list[str]] = [[] for _ in range(num_shards)]
+    for i, f in enumerate(frags):
+        shards[i % num_shards].append(f)
+
+    done = completed_shards(out_dir)
+    t1 = time.time()
+    rows_triples = rows_edges = 0
+    for si, frag_group in enumerate(shards):
+        if si in done or not frag_group:
+            continue
+        shard_dir = os.path.join(out_dir, f"shard={si:05d}")
+        pages = read_pages(frag_group, columns=["url", "html"])
+        tables = extract_tables_ds(pages, cfg).materialize()
+
+        # triples-materialize and linking both consume the materialized table
+        # records and are independent — run them CONCURRENTLY (two driver
+        # threads feeding one streaming executor) instead of serially
+        import dataclasses
+        import threading
+
+        import ray as _ray
+
+        ncpu = int(_ray.cluster_resources().get("CPU", 8))
+        link_cfg = cfg if cfg.linker_concurrency >= ncpu // 2 else \
+            dataclasses.replace(cfg, linker_concurrency=max(2, ncpu // 2))
+
+        link_err: list[BaseException] = []
+
+        def run_linking() -> None:
+            try:
+                mentions = tables.map_batches(mentions_from_tables_batch,
+                                              batch_format="pyarrow")
+                edges = top1_links(link_mentions(mentions, index_dir, link_cfg))
+                edges.write_parquet(os.path.join(shard_dir, "edges"))
+                # label side-output: distinct (subject, label) pairs, the
+                # canonicalization input — tiny vs the triples, so phase 2
+                # never re-scans the full triple set
+                from ..stages.triples import label_pairs_from_tables_batch
+
+                labels = tables.map_batches(label_pairs_from_tables_batch,
+                                            batch_format="pyarrow")
+                labels.write_parquet(os.path.join(shard_dir, "labels"))
+            except BaseException as exc:  # surface in the main thread
+                link_err.append(exc)
+
+        linker_thread = threading.Thread(target=run_linking, daemon=True)
+        linker_thread.start()
+        triples = triples_ds(tables, cfg)
+        part_stats = materialize_triples(
+            triples, shard_dir, num_partitions=partitions_per_shard,
+            fingerprint=";".join(os.path.basename(f) for f in frag_group))
+        linker_thread.join()
+        if link_err:
+            raise link_err[0]
+        n_tr = sum(m["rows"] for m in part_stats)
+        rows_triples += n_tr
+        manifest = {"shard": si, "rows": n_tr,
+                    "fragments": [os.path.basename(f) for f in frag_group],
+                    "partitions": len(part_stats), "completed_at": time.time()}
+        mp = _shard_manifest_path(out_dir, si)
+        with open(mp + ".tmp", "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(mp + ".tmp", mp)
+    metrics["phase1_sec"] = time.time() - t1
+    metrics["triples"] = rows_triples
+
+    # --- phase 2: global canonicalize + final materialize ---
+    t2 = time.time()
+    final_dir = os.path.join(out_dir, "final")
+    final_manifest = os.path.join(out_dir, "final_manifest.json")
+    if not os.path.exists(final_manifest):
+        from ..stages.canonicalize import (
+            alias_edges_from_labels,
+            alias_edges_local,
+            apply_canonical_mapping,
+            mapping_from_edges,
+        )
+
+        mapping = {}
+        if canonicalize:
+            label_files: list[str] = []
+            for si in completed_shards(out_dir):
+                d = os.path.join(out_dir, f"shard={si:05d}", "labels")
+                if os.path.isdir(d):
+                    label_files.extend(
+                        os.path.join(d, f) for f in sorted(os.listdir(d))
+                        if f.endswith(".parquet"))
+            if label_files:
+                import pyarrow.parquet as pq
+
+                # adaptive: Parquet metadata gives the label row count for
+                # free; small sets run the driver-local blocking (identical
+                # semantics, none of the per-op scheduling overhead)
+                n_labels = sum(pq.ParquetFile(f).metadata.num_rows
+                               for f in label_files)
+                if n_labels <= 2_000_000:
+                    labels_df = pq.read_table(label_files[0]).to_pandas() \
+                        if len(label_files) == 1 else \
+                        pa.concat_tables([pq.read_table(f) for f in label_files]).to_pandas()
+                    edges_df = alias_edges_local(labels_df, cfg)
+                else:
+                    edges_df = alias_edges_from_labels(
+                        rd.read_parquet(label_files), cfg).to_pandas()
+                mapping = mapping_from_edges(edges_df, cfg)
+        if mapping:
+            triples_all = read_output(out_dir).drop_columns(["shard", "part"])
+            part_stats = materialize_triples(
+                apply_canonical_mapping(triples_all, mapping), final_dir,
+                num_partitions=cfg.num_output_partitions, fingerprint="phase2")
+            n_final = sum(m["rows"] for m in part_stats)
+            layout = "final"
+        else:
+            # identity mapping: phase-1 partitions (already hash(subj)-
+            # partitioned and sorted) ARE the final output — commit that fact
+            # instead of rewriting 100% of the data
+            n_final = sum(m["rows"] for m in
+                          (json.load(open(_shard_manifest_path(out_dir, si)))
+                           for si in completed_shards(out_dir)))
+            layout = "phase1"
+        with open(final_manifest + ".tmp", "w") as fh:
+            json.dump({"rows": n_final, "layout": layout,
+                       "merged_uris": len(mapping),
+                       "completed_at": time.time()}, fh)
+        os.replace(final_manifest + ".tmp", final_manifest)
+        metrics["final_rows"] = n_final
+        metrics["merged_uris"] = len(mapping)
+    else:
+        with open(final_manifest) as fh:
+            metrics["final_rows"] = json.load(fh)["rows"]
+    metrics["phase2_sec"] = time.time() - t2
     metrics["wall_sec"] = time.time() - t0
     return metrics
 

@@ -38,10 +38,10 @@ def _round_df(df: pd.DataFrame, spec: dict[str, int]) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_pricing_summary(sf_dir: str):
-    """Filter + groupby aggregate (ValueAggregator semantics, SJ/utils/
-    ValueAggregator.java:7-69).  Scale: column-pruned read, Ray's map-side
-    partial aggregation, tiny result."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """Filter + grouped aggregate (ValueAggregator semantics, SJ/utils/
+    ValueAggregator.java:7-69).  Scale: column-pruned read, two-phase
+    aggregation (partials per batch, tiny final shuffle)."""
+    from ..stages.aggregates import two_phase_agg
 
     ds = _rp(sf_dir, "lineitem",
              ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
@@ -50,12 +50,12 @@ def q_pricing_summary(sf_dir: str):
         lambda t: t.filter(pc.less_equal(t["l_shipdate"],
                                          pa.scalar(pd.Timestamp("1995-06-17")))),
         batch_format="pyarrow")
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_price"),
-        Mean("l_quantity", alias_name="avg_qty"),
-        Count(alias_name="n"),
-    )
+    out = two_phase_agg(ds, ["l_returnflag", "l_linestatus"], {
+        "sum_qty": ("l_quantity", "sum"),
+        "sum_price": ("l_extendedprice", "sum"),
+        "avg_qty": ("l_quantity", "mean"),
+        "n": (None, "count"),
+    })
     return _round_df(out.to_pandas(), {"sum_qty": 2, "sum_price": 2, "avg_qty": 4})
 
 
@@ -75,8 +75,10 @@ def q_revenue_by_nation(sf_dir: str):
         }),
         batch_format="pyarrow")
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = li.join(orders, join_type="inner", num_partitions=16,
-                     on=("l_orderkey",), right_on=("o_orderkey",))
+    from ..stages.joins import bucket_join
+
+    joined = bucket_join(li, orders, left_on="l_orderkey",
+                         right_on="o_orderkey", bucket_count=16)
 
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
@@ -88,10 +90,10 @@ def q_revenue_by_nation(sf_dir: str):
         df["n_name"] = df["o_custkey"].map(lookup)
         return df[["n_name", "revenue"]]
 
-    from ray.data.aggregate import Sum
+    from ..stages.aggregates import two_phase_agg
 
-    out = joined.map_batches(attach_nation, batch_format="pandas") \
-        .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue"))
+    out = two_phase_agg(joined.map_batches(attach_nation, batch_format="pandas"),
+                        ["n_name"], {"revenue": ("revenue", "sum")})
     return _round_df(out.to_pandas(), {"revenue": 2})
 
 
@@ -171,8 +173,8 @@ def q_orders_without_lineitems(sf_dir: str):
 def q_events_hourly_window(sf_dir: str):
     """Tumbling-window aggregate over the event stream (streaming-shaped
     workload per the Ray guide: batch windows via truncated-timestamp
-    groupby)."""
-    from ray.data.aggregate import Count, Sum
+    groupby, two-phase)."""
+    from ..stages.aggregates import two_phase_agg
 
     ds = _rp(sf_dir, "events", ["event_type", "ts", "value"])
 
@@ -183,21 +185,21 @@ def q_events_hourly_window(sf_dir: str):
             "value": t["value"],
         })
 
-    out = ds.map_batches(add_window, batch_format="pyarrow") \
-        .groupby(["event_type", "window_start"]) \
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    out = two_phase_agg(ds.map_batches(add_window, batch_format="pyarrow"),
+                        ["event_type", "window_start"],
+                        {"n": (None, "count"), "sum_value": ("value", "sum")})
     return _round_df(out.to_pandas(), {"sum_value": 2})
 
 
 def q_top_users_by_value(sf_dir: str):
-    """Groupby + rank sort + top-k over the stream table."""
-    from ray.data.aggregate import Count, Sum
+    """Groupby + rank sort + top-k over the stream table (two-phase: the
+    high-cardinality user_id shuffle moves partials, not rows)."""
+    from ..stages.aggregates import two_phase_agg
 
-    out = _rp(sf_dir, "events", ["user_id", "value"]) \
-        .groupby("user_id") \
-        .aggregate(Sum("value", alias_name="total_value"),
-                   Count(alias_name="n_events")) \
-        .sort(["total_value", "user_id"], descending=[True, False]).limit(20)
+    agg = two_phase_agg(_rp(sf_dir, "events", ["user_id", "value"]),
+                        ["user_id"], {"total_value": ("value", "sum"),
+                                      "n_events": (None, "count")})
+    out = agg.sort(["total_value", "user_id"], descending=[True, False]).limit(20)
     return _round_df(out.to_pandas(), {"total_value": 2})
 
 
@@ -220,15 +222,15 @@ def q_orders_by_month(sf_dir: str):
 
 def q_part_price_stats(sf_dir: str):
     """min/max/sum/count accumulator per group (ValueAggregator port)."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+    from ..stages.aggregates import two_phase_agg
 
-    out = _rp(sf_dir, "part", ["p_type", "p_retailprice"]) \
-        .groupby("p_type").aggregate(
-            Count(alias_name="n"),
-            Min("p_retailprice", alias_name="min_price"),
-            Max("p_retailprice", alias_name="max_price"),
-            Sum("p_retailprice", alias_name="sum_price"),
-        )
+    out = two_phase_agg(_rp(sf_dir, "part", ["p_type", "p_retailprice"]),
+                        ["p_type"], {
+                            "n": (None, "count"),
+                            "min_price": ("p_retailprice", "min"),
+                            "max_price": ("p_retailprice", "max"),
+                            "sum_price": ("p_retailprice", "sum"),
+                        })
     return _round_df(out.to_pandas(),
                      {"min_price": 2, "max_price": 2, "sum_price": 2})
 
@@ -255,19 +257,20 @@ def q_token_counts(sf_dir: str):
 
 
 def q_exact_dedup(sf_dir: str):
-    """Exact dedup: first (min doc_id) per identical text
-    (groupby(key).first — SURVEY §2.6 'Exact dedup')."""
-    from ray.data.aggregate import Count, Min
+    """Exact dedup: first (min doc_id) per identical text (groupby(key).first
+    — SURVEY §2.6).  Two-phase: duplicates collapse inside each batch before
+    the shuffle (at scale, shuffle a content hash, not the text)."""
+    from ..stages.aggregates import two_phase_agg
 
-    out = _rp(sf_dir, "documents", ["doc_id", "text"]) \
-        .groupby("text").aggregate(Min("doc_id", alias_name="keep_id"),
-                                   Count(alias_name="n_copies"))
+    out = two_phase_agg(_rp(sf_dir, "documents", ["doc_id", "text"]),
+                        ["text"], {"keep_id": ("doc_id", "min"),
+                                   "n_copies": (None, "count")})
     return out.to_pandas()
 
 
 def q_quality_filter(sf_dir: str):
     """Length/language quality gate + per-source stats (C4-style filter)."""
-    from ray.data.aggregate import Count, Mean
+    from ..stages.aggregates import two_phase_agg
 
     ds = _rp(sf_dir, "documents", ["source", "lang", "n_chars"])
     ds = ds.map_batches(
@@ -276,8 +279,8 @@ def q_quality_filter(sf_dir: str):
                     pc.and_(pc.greater_equal(t["n_chars"], pa.scalar(100)),
                             pc.less_equal(t["n_chars"], pa.scalar(20000))))),
         batch_format="pyarrow")
-    out = ds.groupby("source").aggregate(Count(alias_name="n_docs"),
-                                         Mean("n_chars", alias_name="avg_chars"))
+    out = two_phase_agg(ds, ["source"], {"n_docs": (None, "count"),
+                                         "avg_chars": ("n_chars", "mean")})
     return _round_df(out.to_pandas(), {"avg_chars": 4})
 
 
@@ -330,7 +333,7 @@ def corpus_for(sf_dir: str) -> str:
     from ..sources.pages import write_corpus
 
     name = os.path.basename(sf_dir.rstrip("/"))
-    n = _SF_PAGES.get(name, 200)
+    n = int(os.environ.get("GRAFT_BENCH_PAGES", _SF_PAGES.get(name, 200)))
     path = f"/tmp/graft_pages_{name}_{n}"
     write_corpus(path, n_pages=n, seed=42)
     return path

@@ -435,7 +435,9 @@ def write_corpus(path: str, n_pages: int, seed: int = 42,
         batch_format="numpy",
         batch_size=1000,
     )
-    # bound rows per file so the corpus has multiple fragments — the unit of
-    # sharded resume (pipelines/kg.py round-robins fragments into shards)
-    per_file = max(1, n_pages // nblocks)
+    # bound rows per file: fragments are BOTH the unit of sharded resume AND
+    # the unit of read parallelism (a Common-Crawl corpus has thousands of
+    # WARC-derived files; one row group per small file can't be split, so
+    # under-fragmenting caps every downstream map stage)
+    per_file = max(50, min(500, n_pages // 32))
     ds.write_parquet(path, max_rows_per_file=per_file, min_rows_per_file=1)

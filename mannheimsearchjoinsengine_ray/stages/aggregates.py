@@ -1,0 +1,94 @@
+"""Two-phase (map-side partial + small final) grouped aggregation.
+
+A bare ``groupby(key).aggregate(...)`` shuffles every row and, in this Ray
+version, carries heavy per-block/per-group overhead (measured 35s vs 0.6s on
+a 600k-row join output).  This operator computes partials per batch with
+vectorized pandas, shuffles ONLY the partials, and finishes with a small
+groupby — the combiner pattern the reference implements ad hoc with
+synchronized accumulators (TableColumn.valuesInfo, JoinResult sums,
+SearchJoin.java:827-840).
+
+Supported functions: sum, count, min, max, mean (mean = sum/count derived
+after the final merge).  Output column names are exactly the spec keys.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def two_phase_agg(ds, keys: list[str], spec: dict[str, tuple[str | None, str]],
+                  final_blocks: int = 8):
+    """spec: output_name -> (input_column | None, fn); fn ∈ {sum,count,min,max,mean}.
+
+    Returns a Dataset with columns keys + list(spec).
+
+    ``final_blocks``: partials are coalesced to this many blocks before the
+    final groupby — Ray's sort shuffle schedules one reduce task per input
+    block, so hundreds of tiny partial blocks would pay hundreds of task
+    overheads for kilobytes of data.
+    """
+    sum_cols: dict[str, str] = {}
+    min_cols: dict[str, str] = {}
+    max_cols: dict[str, str] = {}
+    mean_cols: dict[str, str] = {}
+    count_names: list[str] = []
+    for out, (col, fn) in spec.items():
+        if fn == "sum":
+            sum_cols[out] = col
+        elif fn == "min":
+            min_cols[out] = col
+        elif fn == "max":
+            max_cols[out] = col
+        elif fn == "mean":
+            mean_cols[out] = col
+        elif fn == "count":
+            count_names.append(out)
+        else:
+            raise ValueError(f"unsupported agg fn {fn}")
+    need_count = bool(count_names or mean_cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False, dropna=False)
+        parts = {}
+        for out, col in sum_cols.items():
+            parts[out] = g[col].sum()
+        for out, col in min_cols.items():
+            parts[out] = g[col].min()
+        for out, col in max_cols.items():
+            parts[out] = g[col].max()
+        for out, col in mean_cols.items():
+            parts[f"__sum_{out}"] = g[col].sum()
+        if need_count:
+            parts["__n"] = g.size()
+        return pd.DataFrame(parts).reset_index()
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    if final_blocks:
+        partials = partials.repartition(final_blocks)
+    aggs = []
+    for out in sum_cols:
+        aggs.append(Sum(out, alias_name=out))
+    for out in min_cols:
+        aggs.append(Min(out, alias_name=out))
+    for out in max_cols:
+        aggs.append(Max(out, alias_name=out))
+    for out in mean_cols:
+        aggs.append(Sum(f"__sum_{out}", alias_name=f"__sum_{out}"))
+    if need_count:
+        aggs.append(Sum("__n", alias_name="__n"))
+    merged = partials.groupby(keys).aggregate(*aggs)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        for out in mean_cols:
+            df[out] = df[f"__sum_{out}"] / df["__n"]
+            df = df.drop(columns=[f"__sum_{out}"])
+        for out in count_names:
+            df[out] = df["__n"]
+        if need_count:
+            df = df.drop(columns=["__n"])
+        return df[keys + list(spec)]
+
+    return merged.map_batches(finish, batch_format="pandas")

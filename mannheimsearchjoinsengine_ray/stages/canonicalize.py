@@ -70,59 +70,113 @@ class LshBlocker:
         })
 
 
+_BLOCKER_CACHE: dict[tuple[int, int], "LshBlocker"] = {}
+
+
+def lsh_block_batch(batch: pa.Table, num_perm: int = 64,
+                    num_bands: int = 16) -> pa.Table:
+    """Function form of LshBlocker for stateless tasks: the hasher is cached
+    at module level (once per worker process — same amortization as an actor
+    without the pool spin-up; right for light state like permutation tables)."""
+    key = (num_perm, num_bands)
+    blocker = _BLOCKER_CACHE.get(key)
+    if blocker is None:
+        blocker = _BLOCKER_CACHE[key] = LshBlocker(num_perm, num_bands)
+    return blocker(batch)
+
+
+def _pairs_from_group(group: pd.DataFrame, max_block: int = 50) -> pd.DataFrame:
+    g = group.drop_duplicates("id").sort_values("id")
+    ids = g["id"].tolist()
+    names = g["name"].tolist()
+    if len(ids) < 2:
+        return pd.DataFrame({
+            "left_id": pd.Series(dtype=group["id"].dtype),
+            "right_id": pd.Series(dtype=group["id"].dtype),
+            "left_name": pd.Series(dtype="string"),
+            "right_name": pd.Series(dtype="string"),
+        })
+    L, R, LN, RN = [], [], [], []
+    if len(ids) <= max_block:
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                L.append(ids[i]); R.append(ids[j])
+                LN.append(names[i]); RN.append(names[j])
+    else:
+        # star around the minimum id — O(n) edges, same components
+        for j in range(1, len(ids)):
+            L.append(ids[0]); R.append(ids[j])
+            LN.append(names[0]); RN.append(names[j])
+    return pd.DataFrame({"left_id": L, "right_id": R,
+                         "left_name": LN, "right_name": RN})
+
+
 def candidate_pairs(blocked_ds, max_block: int = 50):
     """groupby(band) → unordered candidate pairs.  Blocks larger than
     ``max_block`` are truncated after sorting by id (deterministic) — the
     skew guard; every member still pairs with the block minimum so the
     component structure survives (star pattern instead of clique)."""
+    return blocked_ds.repartition(8).groupby(["band_idx", "band_hash"]) \
+        .map_groups(lambda g: _pairs_from_group(g, max_block),
+                    batch_format="pandas")
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("id").sort_values("id")
-        ids = g["id"].tolist()
-        names = g["name"].tolist()
-        if len(ids) < 2:
-            return pd.DataFrame({
-                "left_id": pd.Series(dtype=group["id"].dtype),
-                "right_id": pd.Series(dtype=group["id"].dtype),
-                "left_name": pd.Series(dtype="string"),
-                "right_name": pd.Series(dtype="string"),
-            })
-        L, R, LN, RN = [], [], [], []
-        if len(ids) <= max_block:
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    L.append(ids[i]); R.append(ids[j])
-                    LN.append(names[i]); RN.append(names[j])
-        else:
-            # star around the minimum id — O(n) edges, same components
-            for j in range(1, len(ids)):
-                L.append(ids[0]); R.append(ids[j])
-                LN.append(names[0]); RN.append(names[j])
-        return pd.DataFrame({"left_id": L, "right_id": R,
-                             "left_name": LN, "right_name": RN})
 
-    return blocked_ds.groupby(["band_idx", "band_hash"]) \
-        .map_groups(pairs, batch_format="pandas")
+def _verify_df(df: pd.DataFrame, min_jaccard: float) -> pd.DataFrame:
+    if df.empty:
+        df["jaccard"] = []
+        return df
+    keep = []
+    jac = []
+    for ln, rn in zip(df["left_name"], df["right_name"]):
+        j = jaccard(set(tokenize_string(ln or "")), set(tokenize_string(rn or "")))
+        jac.append(j)
+        keep.append(j >= min_jaccard)
+    df = df.assign(jaccard=jac)[pd.Series(keep, index=df.index)]
+    return df.drop_duplicates(["left_id", "right_id"])
 
 
 def verify_pairs(pairs_ds, min_jaccard: float = 0.5):
     """Token-set Jaccard verification (FastJoin FJACCARD δ τ analog;
     fuzzy_min_confidence in config)."""
+    return pairs_ds.map_batches(lambda df: _verify_df(df, min_jaccard),
+                                batch_format="pandas")
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty:
-            df["jaccard"] = []
-            return df
-        keep = []
-        jac = []
-        for ln, rn in zip(df["left_name"], df["right_name"]):
-            j = jaccard(set(tokenize_string(ln or "")), set(tokenize_string(rn or "")))
-            jac.append(j)
-            keep.append(j >= min_jaccard)
-        df = df.assign(jaccard=jac)[pd.Series(keep, index=df.index)]
-        return df.drop_duplicates(["left_id", "right_id"])
 
-    return pairs_ds.map_batches(verify, batch_format="pandas")
+def alias_edges_local(labels_df: pd.DataFrame,
+                      cfg: PipelineConfig = DEFAULT_CONFIG,
+                      min_jaccard: float | None = None) -> pd.DataFrame:
+    """Driver-local blocking + verify for SMALL deduped label sets (the
+    caller guards with a row-count check — e.g. Parquet metadata counts).
+    Identical semantics to the distributed path, none of the per-op
+    scheduling overhead."""
+    mj = min_jaccard if min_jaccard is not None else cfg.fuzzy_min_confidence
+    df = labels_df.drop_duplicates("id")
+    if df.empty:
+        return pd.DataFrame({"left_id": [], "right_id": [], "jaccard": []})
+    blocker = LshBlocker(cfg.minhash_num_perm, cfg.minhash_bands)
+    blocked = blocker(pa.Table.from_pandas(df, preserve_index=False)).to_pandas()
+    # singleton bands can't produce pairs — drop them vectorized before the
+    # per-group python work (almost all bands are singletons)
+    blocked = blocked[blocked.duplicated(["band_idx", "band_hash"], keep=False)]
+    L: list = []
+    R: list = []
+    LN: list = []
+    RN: list = []
+    for _, g in blocked.groupby(["band_idx", "band_hash"], sort=False):
+        g = g.drop_duplicates("id").sort_values("id")
+        ids = g["id"].tolist()
+        names = g["name"].tolist()
+        if len(ids) < 2:
+            continue
+        rng = range(len(ids)) if len(ids) <= 50 else range(1)
+        for i in rng:
+            for j in range(i + 1, len(ids)):
+                L.append(ids[i]); R.append(ids[j])
+                LN.append(names[i]); RN.append(names[j])
+    pairs = pd.DataFrame({"left_id": L, "right_id": R,
+                          "left_name": LN, "right_name": RN})
+    pairs = pairs.drop_duplicates(["left_id", "right_id"])
+    return _verify_df(pairs, mj)
 
 
 # ---------------------------------------------------------------------------
@@ -269,42 +323,52 @@ def resolve_components(values_ds, value_type: str = "string",
 # 4. End-to-end canonicalization of a triple Dataset
 # ---------------------------------------------------------------------------
 
-def subject_alias_edges(triples_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
-                        min_jaccard: float | None = None):
-    """rdfs:label triples → verified near-duplicate subject pairs."""
-    import pyarrow.compute as pc
+def alias_edges_from_labels(labels_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
+                            min_jaccard: float | None = None):
+    """(id, name) label pairs → verified near-duplicate id pairs.
 
-    labels = triples_ds.map_batches(
-        lambda t: t.filter(pc.equal(
-            t["pred"], pa.scalar("http://www.w3.org/2000/01/rdf-schema#label"))),
-        batch_format="pyarrow",
-    ).map_batches(
-        lambda t: pa.table({"id": t["subj"], "name": t["obj"]}),
-        batch_format="pyarrow",
-    )
+    Labels repeat (across pages/shards): per-batch dedupe is the map-side
+    combine, the small groupby-min collapses cross-batch repeats, and
+    signatures are computed once per distinct id."""
+    from ray.data.aggregate import Min
+
+    labels = labels_ds.map_batches(
+        lambda df: df.drop_duplicates("id"), batch_format="pandas") \
+        .repartition(8).groupby("id").aggregate(Min("name", alias_name="name"))
     blocked = labels.map_batches(
-        LshBlocker,
-        fn_constructor_kwargs={"num_perm": cfg.minhash_num_perm,
-                               "num_bands": cfg.minhash_bands},
-        batch_format="pyarrow", concurrency=2,
+        lsh_block_batch,
+        fn_kwargs={"num_perm": cfg.minhash_num_perm,
+                   "num_bands": cfg.minhash_bands},
+        batch_format="pyarrow",
     )
     pairs = candidate_pairs(blocked)
     return verify_pairs(pairs, min_jaccard=min_jaccard
                         if min_jaccard is not None else cfg.fuzzy_min_confidence)
 
 
-def canonicalize_triples(triples_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
-                         use_distributed_cc: bool | None = None):
-    """Rewrite subj/obj URIs onto canonical component representatives.
+def subject_alias_edges(triples_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
+                        min_jaccard: float | None = None):
+    """rdfs:label triples → verified near-duplicate subject pairs."""
+    import pyarrow.compute as pc
 
-    The sameAs mapping (node → canonical) is the SMALL product of blocking +
-    verification, broadcast to the rewrite stage via ray.put."""
-    import ray
+    def label_partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(
+            t["pred"], pa.scalar("http://www.w3.org/2000/01/rdf-schema#label")))
+        df = pd.DataFrame({"id": t.column("subj").to_pylist(),
+                           "name": t.column("obj").to_pylist()})
+        return pa.Table.from_pandas(df.drop_duplicates("id"), preserve_index=False)
 
-    edges = subject_alias_edges(triples_ds, cfg)
-    edges_df = edges.to_pandas()
+    labels = triples_ds.map_batches(label_partials, batch_format="pyarrow")
+    return alias_edges_from_labels(labels, cfg, min_jaccard)
+
+
+def mapping_from_edges(edges_df: pd.DataFrame,
+                       cfg: PipelineConfig = DEFAULT_CONFIG,
+                       use_distributed_cc: bool | None = None) -> dict:
+    """Verified alias edges → {uri: canonical_uri} via connected components
+    (empty dict = nothing merges; identity)."""
     if edges_df.empty:
-        return triples_ds
+        return {}
     if use_distributed_cc is None:
         use_distributed_cc = len(edges_df) >= 2_000_000
     if use_distributed_cc:
@@ -314,18 +378,39 @@ def canonicalize_triples(triples_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
             rd.from_pandas(edges_df), cfg.cc_max_iterations).to_pandas()
     else:
         comp = connected_components_local(edges_df)
-    mapping = dict(zip(comp["id"], comp["component"]))
+    return {i: c for i, c in zip(comp["id"], comp["component"]) if i != c}
+
+
+def build_canonical_mapping(triples_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
+                            use_distributed_cc: bool | None = None) -> dict:
+    """Blocking + verify + connected components over a triple Dataset."""
+    edges_df = subject_alias_edges(triples_ds, cfg).to_pandas()
+    return mapping_from_edges(edges_df, cfg, use_distributed_cc)
+
+
+def apply_canonical_mapping(triples_ds, mapping: dict):
+    """Rewrite subj/obj URIs through the (small, broadcast) sameAs mapping."""
+    import ray
+
+    if not mapping:
+        return triples_ds
     map_ref = ray.put(mapping)
 
-    def rewrite(t: pa.Table) -> pa.Table:
+    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(map_ref)
-        subj = [m.get(s, s) for s in t.column("subj").to_pylist()]
-        objs = t.column("obj").to_pylist()
-        types = t.column("obj_type").to_pylist()
-        obj = [m.get(o, o) if ot == "uri" else o for o, ot in zip(objs, types)]
-        out = {name: t.column(name) for name in t.column_names}
-        out["subj"] = pa.array(subj, pa.string())
-        out["obj"] = pa.array(obj, pa.string())
-        return pa.table(out)
+        mapped = df["subj"].map(m)
+        df["subj"] = mapped.where(mapped.notna(), df["subj"])
+        is_uri = df["obj_type"] == "uri"
+        if is_uri.any():
+            mo = df.loc[is_uri, "obj"].map(m)
+            df.loc[is_uri, "obj"] = mo.where(mo.notna(), df.loc[is_uri, "obj"])
+        return df
 
-    return triples_ds.map_batches(rewrite, batch_format="pyarrow")
+    return triples_ds.map_batches(rewrite, batch_format="pandas")
+
+
+def canonicalize_triples(triples_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
+                         use_distributed_cc: bool | None = None):
+    """build_canonical_mapping + apply_canonical_mapping in one call."""
+    mapping = build_canonical_mapping(triples_ds, cfg, use_distributed_cc)
+    return apply_canonical_mapping(triples_ds, mapping)

@@ -1,0 +1,69 @@
+"""Partitioned hash join built from groupby primitives (the portable
+large-large join).
+
+``Dataset.join`` exists in this Ray version but its actor-based hash shuffle
+carries heavy fixed costs at moderate scale; this operator expresses the same
+exchange as ONE union + ONE groupby shuffle:
+
+    left  → add bucket = hash(key) % B, tag side=0
+    right → add bucket,                 tag side=1
+    union → groupby(bucket) → pandas merge inside each group
+
+Partitioning assumption: both sides co-locate by ``hash(key) % B``; B sizes
+the per-task merge to worker memory.  Skewed keys spread only if the caller
+salts them (append ``hash(row) % K`` to hot keys on the build side and
+replicate probe rows K times — see q_revenue_by_nation's docstring for when
+that applies).
+
+Used by the fusion operator (DataFuser analog) and the relational queries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import hash64
+
+
+def _prep(ds, on: str, bucket_count: int, side: int, all_cols: list[str]):
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame()
+        out["__key"] = df[on]
+        for c in all_cols:
+            if c in df.columns and c != on:
+                out[c] = df[c]
+            elif c != on:
+                out[c] = None
+        out["__bucket"] = (hash64(df[on].astype(str).to_numpy())
+                           % np.uint64(bucket_count)).astype("int64")
+        out["__side"] = np.int8(side)
+        return out
+
+    return ds.map_batches(tag, batch_format="pandas")
+
+
+def bucket_join(left_ds, right_ds, left_on: str, right_on: str,
+                bucket_count: int = 32, how: str = "inner"):
+    """Hash-partitioned join of two Datasets → Dataset with the union of
+    columns (join key kept under the LEFT name)."""
+    left_cols = [f.name for f in left_ds.schema().base_schema]
+    right_cols = [f.name for f in right_ds.schema().base_schema]
+    shared = (set(left_cols) - {left_on}) & (set(right_cols) - {right_on})
+    if shared:
+        raise ValueError(f"overlapping non-key columns: {shared}")
+    all_cols = sorted((set(left_cols) - {left_on}) | (set(right_cols) - {right_on}))
+
+    l2 = _prep(left_ds, left_on, bucket_count, 0, all_cols)
+    r2 = _prep(right_ds, right_on, bucket_count, 1, all_cols)
+    lc = [c for c in left_cols if c != left_on]
+    rc = [c for c in right_cols if c != right_on]
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0]
+        r = group[group["__side"] == 1]
+        m = l[["__key"] + lc].merge(r[["__key"] + rc], on="__key", how=how)
+        return m.rename(columns={"__key": left_on})
+
+    return l2.union(r2).groupby("__bucket").map_groups(merge, batch_format="pandas")

@@ -75,10 +75,13 @@ def write_partition(table: pa.Table, out_dir: str, part: int,
         shutil.rmtree(part_dir)
     os.replace(tmp_dir, part_dir)
 
+    import pyarrow.compute as pc
+
     manifest = {
         "partition": part,
         "rows": table.num_rows,
-        "distinct_subjects": len(set(table.column("subj").to_pylist())) if table.num_rows else 0,
+        "distinct_subjects": int(pc.count_distinct(table.column("subj")).as_py())
+        if table.num_rows else 0,
         "input_fingerprint": input_fingerprint,
         "completed_at": time.time(),
     }

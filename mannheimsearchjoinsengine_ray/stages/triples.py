@@ -133,6 +133,48 @@ def triples_from_tables_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pydict(cols, schema=TRIPLE_SCHEMA)
 
 
+def label_pairs_from_tables_batch(batch: pa.Table) -> pa.Table:
+    """Table records → distinct (id, name) label pairs — exactly the
+    (subj, rdfs:label obj) pairs ``triples_from_tables_batch`` emits, produced
+    as a cheap SIDE OUTPUT during phase 1 so canonicalization never has to
+    re-scan the full triple set to find labels."""
+    ids: list[str] = []
+    names: list[str] = []
+    seen: set[str] = set()
+
+    def emit(uri: str, name: str) -> None:
+        if uri not in seen:
+            seen.add(uri)
+            ids.append(uri)
+            names.append(name)
+
+    headers_col = batch.column("headers").to_pylist()
+    key_idx_col = batch.column("key_idx").to_pylist()
+    has_key_col = batch.column("has_key").to_pylist()
+    rows_col = batch.column("rows").to_pylist()
+    for headers, key_idx, has_key, rows in zip(
+        headers_col, key_idx_col, has_key_col, rows_col
+    ):
+        if not has_key or key_idx < 0:
+            continue
+        key_header = headers[key_idx]
+        seen_key = False
+        for row in rows:
+            key_norm = row[key_idx]
+            if key_norm in ("", "null", "string") or key_norm is None:
+                continue
+            seen_key = True
+            emit(subject_uri(key_norm), capitalize_words(key_norm))
+        if seen_key:
+            class_uri = NS + capitalize_words(key_header).replace(" ", "")
+            emit(class_uri, capitalize_words(key_header))
+            for ci, h in enumerate(headers):
+                if ci != key_idx:
+                    emit(property_uri(h), capitalize_words(h))
+    return pa.table({"id": pa.array(ids, pa.string()),
+                     "name": pa.array(names, pa.string())})
+
+
 # ---------------------------------------------------------------------------
 # N-Triples text rendering (Triplifier.makeTriple/addBrackets :116-159)
 # ---------------------------------------------------------------------------
