@@ -434,6 +434,71 @@ def q_multimodal_decode(sf_dir: str):
     return decode_features(media, deterministic_fake=True).to_pandas()
 
 
+def q_value_histogram(sf_dir: str):
+    """Value-distribution histogram (ValuesDistributionAnalyzer analog):
+    events.value bucketed by 100s, two-phase counted."""
+    from ..stages.aggregates import two_phase_agg
+
+    ds = _rp(sf_dir, "events", ["value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        b = _pc.floor(_pc.divide(t["value"], pa.scalar(100.0)))
+        return pa.table({"bucket": _pc.cast(b, pa.int64())})
+
+    out = two_phase_agg(ds.map_batches(bucket, batch_format="pyarrow"),
+                        ["bucket"], {"n": (None, "count")})
+    return out.to_pandas()
+
+
+def q_kg_fused_table(sf_dir: str):
+    """Fusion (DataFuser analog): link edges ⋈ triples → long augmented view.
+    Rows-only oracle (depends on the linker)."""
+    import ray.data as rd
+
+    from .kg import extract_tables_ds, read_pages, triples_ds
+    from ..sources.pages import make_gazetteer
+    from ..stages.extract import TableExtractor  # noqa: F401
+    from ..stages.fusion import fuse_edges_with_triples
+    from ..stages.link import link_mentions, mentions_from_tables_batch, top1_links
+    from ..state.index import build_index
+
+    import os as _os
+
+    corpus = corpus_for(sf_dir)
+    index_dir = f"/tmp/graft_linkindex_{_os.path.basename(sf_dir.rstrip('/'))}"
+    if not _os.path.isdir(index_dir) or not _os.listdir(index_dir):
+        gaz = rd.from_arrow(pa.table(make_gazetteer(500)))
+        build_index(gaz, index_dir, num_shards=4)
+    pages = read_pages(corpus, columns=["url", "html"])
+    tables = extract_tables_ds(pages).materialize()
+    mentions = tables.map_batches(mentions_from_tables_batch, batch_format="pyarrow")
+    edges = top1_links(link_mentions(mentions, index_dir)).to_pandas()
+    # bound the fused view: top 200 mentions (maxMatchedTables analog)
+    edges = edges.drop_duplicates("mention").head(200)
+    tr = triples_ds(tables)
+    return fuse_edges_with_triples(edges, tr)
+
+
+def q_kg_values_per_subject(sf_dir: str):
+    """Distribution of values per key (DistributionOfValuesPerKey analog)
+    over the KG triples.  Rows-only oracle."""
+    from .kg import pages_to_triples
+    from ..stages.stats import values_per_key_distribution
+
+    return values_per_key_distribution(pages_to_triples(corpus_for(sf_dir)))
+
+
+def q_kg_header_frequencies(sf_dir: str):
+    """Header frequency distribution over extracted web tables.  Rows-only."""
+    from .kg import extract_tables_ds, read_pages
+    from ..stages.stats import header_frequencies
+
+    pages = read_pages(corpus_for(sf_dir), columns=["url", "html"])
+    return header_frequencies(extract_tables_ds(pages))
+
+
 ORACLE_SQL: dict[str, str] = {
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -511,6 +576,10 @@ ORACLE_SQL: dict[str, str] = {
         FROM part GROUP BY p_type
     """,
     "distinct_brands": "SELECT DISTINCT p_brand FROM part",
+    "value_histogram": """
+        SELECT CAST(floor(value / 100.0) AS BIGINT) AS bucket, COUNT(*) AS n
+        FROM events GROUP BY 1
+    """,
     "ann_topk": """
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                    FROM embeddings WHERE vec_id < 20)
@@ -566,4 +635,8 @@ QUERIES: dict = {
     "simhash_dedup": q_simhash_dedup,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_decode": q_multimodal_decode,
+    "value_histogram": q_value_histogram,
+    "kg_fused_table": q_kg_fused_table,
+    "kg_values_per_subject": q_kg_values_per_subject,
+    "kg_header_frequencies": q_kg_header_frequencies,
 }

@@ -1,0 +1,206 @@
+"""Schema matching: instance-based + label-based column scoring and the
+greedy duplicate-column decision.
+
+Behavioral port of SURVEY §2.5:
+  * ``ColumnScoreValue``            — running (sum, count, complement)
+    accumulator (SJ/model/schema/ColumnScoreValue.java)
+  * ``score_column_pair``           — InstanceBasedColumnComparer (:67-207):
+    align values on shared row ids, per-type value similarity for co-present
+    pairs (compare_values), one-sided rows count as complement; different
+    types or same source → no score (InstanceBasedMatcher skip :99-109)
+  * ``complementary_similarity``    — ScoreEvaluator (:146-150):
+    (complement × complementaryScore + Σscores) / totalCount
+  * ``label_similarity``            — header similarity, Jaccard over 2-4
+    char n-grams of the normalized headers (LabelBasedComparer without the
+    SPARQL/WordNet network calls — SURVEY maps those to a local gazetteer)
+  * ``decide_object_matching``      — InstanceBasedComparer (:130-347):
+    greedy 1↔N matching with per-type thresholds (string 0.8 / numeric 0.4;
+    0.5 / 0.3 when label evidence also passed), a partner is dropped when
+    another column scores it strictly higher
+  * ``score_pairs_ds``              — the Dataset stage: candidate column
+    pairs (post-LSH-blocking, NOT all-pairs) scored in map_batches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+import pyarrow as pa
+
+from ..config import DEFAULT_CONFIG, NULL_VALUE, PipelineConfig
+from ..functions.normalize import clear_string
+from ..functions.similarity import compare_values, jaccard_ngram
+
+
+@dataclass
+class ColumnScoreValue:
+    """Running pairwise-score accumulator."""
+    score_sum: float = 0.0
+    count: int = 0
+    complement: int = 0
+
+    def add_score(self, s: float) -> None:
+        self.score_sum += s
+        self.count += 1
+
+    def add_complement(self) -> None:
+        self.complement += 1
+
+    @property
+    def average(self) -> float:
+        return self.score_sum / self.count if self.count else 0.0
+
+
+def score_column_pair(values_a: dict[int, str], values_b: dict[int, str],
+                      data_type: str, date_range_days: float = 0.0,
+                      sample_ratio: float = 1.0) -> ColumnScoreValue:
+    """Instance-based similarity of two columns sharing a row-id space."""
+    csv = ColumnScoreValue()
+    rows = sorted(set(values_a) | set(values_b))
+    if sample_ratio < 1.0:
+        step = max(1, int(round(1.0 / sample_ratio)))
+        rows = rows[::step]
+    for r in rows:
+        va = values_a.get(r)
+        vb = values_b.get(r)
+        a_null = va in (None, "", NULL_VALUE)
+        b_null = vb in (None, "", NULL_VALUE)
+        if a_null and b_null:
+            continue
+        if a_null or b_null:
+            csv.add_complement()
+            continue
+        csv.add_score(compare_values(va, vb, data_type, date_range_days))
+    return csv
+
+
+def complementary_similarity(csv: ColumnScoreValue,
+                             complementary_score: float = 1.0) -> float:
+    total = csv.count + csv.complement
+    if total == 0:
+        return 0.0
+    return (csv.complement * complementary_score + csv.score_sum) / total
+
+
+def label_similarity(header_a: str, header_b: str) -> float:
+    a = clear_string(header_a, True)
+    b = clear_string(header_b, True)
+    if a == b:
+        return 1.0
+    return jaccard_ngram(a, b)
+
+
+@dataclass
+class ColumnRef:
+    column_id: str
+    header: str
+    data_type: str
+    source: str
+    values: dict[int, str] = field(default_factory=dict)
+
+
+def _threshold(data_type: str, with_label: bool,
+               cfg: PipelineConfig) -> float:
+    if data_type in ("numeric", "unit", "coordinate", "date"):
+        return cfg.dup_numeric_threshold_label if with_label else cfg.dup_numeric_threshold
+    return cfg.dup_string_threshold_label if with_label else cfg.dup_string_threshold
+
+
+def decide_object_matching(
+    scores: dict[tuple[str, str], float],
+    col_types: dict[str, str],
+    label_passed: set[tuple[str, str]] | None = None,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> dict[str, list[str]]:
+    """Greedy 1↔N matching over a symmetric pair-score map.
+
+    Returns {column_id: [matched partner ids]}.  A column's match list is its
+    best-scoring partner plus every partner above the per-type threshold; a
+    partner goes to whichever column scores it highest (strictly-higher wins,
+    first-seen keeps on ties — deterministic total order).
+    """
+    label_passed = label_passed or set()
+    sym: dict[tuple[str, str], float] = {}
+    for (a, b), s in scores.items():
+        sym[(a, b)] = s
+        sym[(b, a)] = s
+
+    partners: dict[str, list[tuple[str, float]]] = {}
+    for (a, b), s in sym.items():
+        partners.setdefault(a, []).append((b, s))
+
+    out: dict[str, list[str]] = {}
+    owner: dict[str, tuple[str, float]] = {}  # partner -> (column, score)
+    matched: set[str] = set()                 # columns already consumed
+    for col in sorted(partners):
+        if col in matched:
+            continue
+        plist = sorted(partners[col], key=lambda p: (-p[1], p[0]))
+        claimed: list[str] = []
+        for partner, s in plist:
+            with_label = (col, partner) in label_passed or \
+                (partner, col) in label_passed
+            thr = _threshold(col_types.get(partner, "string"), with_label, cfg)
+            if s < thr and claimed:
+                break
+            if s < thr:
+                continue
+            prev = owner.get(partner)
+            if prev is not None and prev[1] >= s:
+                continue
+            if prev is not None:
+                # steal: remove from the previous owner's list
+                out[prev[0]] = [p for p in out.get(prev[0], []) if p != partner]
+            owner[partner] = (col, s)
+            claimed.append(partner)
+        if claimed:
+            out[col] = claimed
+            matched.add(col)
+            matched.update(claimed)
+    return {c: m for c, m in out.items() if m}
+
+
+# ---------------------------------------------------------------------------
+# Dataset stage: score candidate column pairs
+# ---------------------------------------------------------------------------
+
+PAIR_SCORE_SCHEMA = pa.schema([
+    ("left_col", pa.string()),
+    ("right_col", pa.string()),
+    ("data_type", pa.string()),
+    ("score", pa.float64()),
+    ("count", pa.int64()),
+    ("complement", pa.int64()),
+    ("label_score", pa.float64()),
+])
+
+
+def score_pairs_batch(df: pd.DataFrame,
+                      cfg: PipelineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """Candidate pair rows with columns (left_col, right_col, left_header,
+    right_header, data_type_left, data_type_right, left_source, right_source,
+    left_values, right_values [dict row->value]) → scored pairs.  Same-source
+    or type-mismatched pairs score 0 and are dropped."""
+    out = {n: [] for n in PAIR_SCORE_SCHEMA.names}
+    for _, r in df.iterrows():
+        if r["data_type_left"] != r["data_type_right"]:
+            continue
+        if r.get("left_source") and r.get("left_source") == r.get("right_source"):
+            continue
+        csv = score_column_pair(r["left_values"], r["right_values"],
+                                r["data_type_left"],
+                                sample_ratio=cfg.instance_sample_ratio)
+        out["left_col"].append(r["left_col"])
+        out["right_col"].append(r["right_col"])
+        out["data_type"].append(r["data_type_left"])
+        out["score"].append(csv.average)
+        out["count"].append(csv.count)
+        out["complement"].append(csv.complement)
+        out["label_score"].append(label_similarity(r["left_header"], r["right_header"]))
+    return pd.DataFrame(out)
+
+
+def score_pairs_ds(pairs_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
+    return pairs_ds.map_batches(lambda df: score_pairs_batch(df, cfg),
+                                batch_format="pandas")

@@ -1,0 +1,171 @@
+"""Fusion, schema matching, and stats/cleaning stage tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mannheimsearchjoinsengine_ray.config import DEFAULT_CONFIG, PipelineConfig
+from mannheimsearchjoinsengine_ray.stages import fusion as F
+from mannheimsearchjoinsengine_ray.stages import matching as M
+from mannheimsearchjoinsengine_ray.stages import stats as S
+
+
+@pytest.fixture()
+def triples_ds(ray_session):
+    import ray.data as rd
+
+    rows = [
+        ("http://x/A", "http://x/population", "1000", "float", "u1"),
+        ("http://x/A", "http://x/region", "North", "string", "u1"),
+        ("http://x/B", "http://x/population", "2000", "float", "u2"),
+        ("http://x/C", "http://x/region", "South", "string", "u2"),
+    ]
+    return rd.from_pandas(pd.DataFrame(
+        rows, columns=["subj", "pred", "obj", "obj_type", "source_url"]))
+
+
+class TestFusion:
+    def test_long_view_and_pivot(self, ray_session, triples_ds):
+        edges = pd.DataFrame({
+            "mention": ["alpha", "beta"],
+            "entity_uri": ["http://x/A", "http://x/B"],
+        })
+        long = F.fuse_edges_with_triples(edges, triples_ds).to_pandas()
+        assert set(long["query_key"]) == {"alpha", "beta"}
+        assert len(long[long["query_key"] == "alpha"]) == 2  # A has 2 triples
+        wide = F.pivot_fused(long)
+        assert "query_key" in wide.columns
+        assert "population|u1" in wide.columns
+        assert wide.set_index("query_key").loc["alpha", "population|u1"] == "1000"
+
+    def test_header_filter(self, ray_session, triples_ds):
+        edges = pd.DataFrame({"mention": ["m"], "entity_uri": ["http://x/A"]})
+        long = F.fuse_edges_with_triples(
+            edges, triples_ds, header_filter=["population"]).to_pandas()
+        assert set(long["pred"]) == {"http://x/population"}
+
+
+class TestMatching:
+    def test_score_column_pair(self):
+        a = {0: "red", 1: "blue", 2: "green"}
+        b = {0: "red", 1: "blue", 3: "yellow"}
+        csv = M.score_column_pair(a, b, "string")
+        assert csv.count == 2            # rows 0,1 co-present
+        assert csv.complement == 2       # rows 2,3 one-sided
+        assert csv.average == 1.0
+        assert M.complementary_similarity(csv) == pytest.approx(1.0)
+
+    def test_numeric_pair(self):
+        csv = M.score_column_pair({0: "10", 1: "20"}, {0: "10", 1: "40"}, "numeric")
+        assert csv.average == pytest.approx((1.0 + 0.25) / 2)
+
+    def test_label_similarity(self):
+        assert M.label_similarity("Population", "population") == 1.0
+        assert M.label_similarity("totalArea", "total area") == 1.0  # decamel+normalize
+        assert M.label_similarity("abc", "xyz") == 0.0
+
+    def test_decide_object_matching(self):
+        scores = {("c1", "c2"): 0.9, ("c1", "c3"): 0.85, ("c2", "c3"): 0.2}
+        types = {"c1": "string", "c2": "string", "c3": "string"}
+        m = M.decide_object_matching(scores, types)
+        assert set(m["c1"]) == {"c2", "c3"}
+        # below threshold → no match
+        m2 = M.decide_object_matching({("a", "b"): 0.5}, {"a": "string", "b": "string"})
+        assert m2 == {}
+        # numeric threshold is lower
+        m3 = M.decide_object_matching({("a", "b"): 0.5}, {"a": "numeric", "b": "numeric"})
+        assert m3 == {"a": ["b"]}
+
+    def test_partner_stealing(self):
+        # greedy order-dependent matching (reference parity): whichever column
+        # is processed first claims its above-threshold partners; the result
+        # must cluster b with c1 (the 0.95 edge) one way or the other
+        scores = {("c1", "b"): 0.95, ("c2", "b"): 0.85}
+        types = {"b": "string"}
+        m = M.decide_object_matching(scores, types)
+        flat = {(k, v) for k, vs in m.items() for v in vs}
+        assert ("b", "c1") in flat or ("c1", "b") in flat
+        # a partner below threshold never appears
+        m2 = M.decide_object_matching({("c1", "b"): 0.95, ("c2", "b"): 0.3}, types)
+        flat2 = {(k, v) for k, vs in m2.items() for v in vs}
+        assert ("b", "c2") not in flat2 and ("c2", "b") not in flat2
+
+    def test_score_pairs_ds(self, ray_session):
+        import ray.data as rd
+
+        pairs = pd.DataFrame([{
+            "left_col": "t1.c0", "right_col": "t2.c0",
+            "left_header": "population", "right_header": "Population",
+            "data_type_left": "numeric", "data_type_right": "numeric",
+            "left_source": "t1", "right_source": "t2",
+            "left_values": {0: "10", 1: "20"},
+            "right_values": {0: "10", 1: "20"},
+        }, {
+            "left_col": "t1.c1", "right_col": "t2.c1",
+            "left_header": "x", "right_header": "y",
+            "data_type_left": "string", "data_type_right": "numeric",
+            "left_source": "t1", "right_source": "t2",
+            "left_values": {}, "right_values": {},
+        }])
+        out = M.score_pairs_ds(rd.from_pandas(pairs)).to_pandas()
+        assert len(out) == 1             # type-mismatched pair dropped
+        assert out.iloc[0]["score"] == 1.0
+        assert out.iloc[0]["label_score"] == 1.0
+
+
+class TestStats:
+    def test_values_per_key(self, ray_session, triples_ds):
+        out = S.values_per_key_distribution(triples_ds).to_pandas()
+        m = dict(zip(out["subj"], out["n_values"]))
+        assert m["http://x/A"] == 2 and m["http://x/C"] == 1
+
+    def test_null_density(self):
+        df = pd.DataFrame({"a": ["x", "null", ""], "b": ["1", "2", "3"]})
+        out = S.null_density_per_column(df).set_index("column_name")
+        assert out.loc["a", "null_density"] == pytest.approx(2 / 3)
+        assert out.loc["b", "null_density"] == 0.0
+
+    def test_clean_tables(self, ray_session):
+        from mannheimsearchjoinsengine_ray.stages.extract import _TABLE_RECORD_SCHEMA
+
+        rows = [["alpha one", "5kg", "123", "null"],
+                ["beta two", "3kg", "456", "null"],
+                ["gamma three", "null", "null", "null"],
+                ["delta four", "7kg", "789", "null"],
+                ["epsil five", "9kg", "12", "null"],
+                ["zeta six", "1kg", "34", "null"]]
+        batch = pa.Table.from_pydict({
+            "url": ["u"], "table_idx": [0], "n_rows": [len(rows)],
+            "headers": [["name", "weight", "count", "empty"]],
+            "col_types": [["string", "unit", "numeric", "string"]],
+            "key_idx": [0], "has_key": [True],
+            "rows": [rows], "raw_keys": [[r[0] for r in rows]],
+        }, schema=_TABLE_RECORD_SCHEMA)
+        out = S.clean_tables_batch(batch, DEFAULT_CONFIG)
+        assert out.num_rows == 1
+        headers = out.column("headers")[0].as_py()
+        assert "empty" not in headers          # all-null column dropped
+        assert headers == ["name", "weight", "count"]
+        cleaned_rows = out.column("rows")[0].as_py()
+        assert cleaned_rows[0][1] == "5.0"     # unit converted to base kg
+        assert cleaned_rows[0][2] == "123.0"   # numeric normalized
+        assert len(cleaned_rows) == 5          # all-null row dropped
+
+    def test_header_frequencies(self, ray_session):
+        import ray.data as rd
+
+        from mannheimsearchjoinsengine_ray.stages.extract import _TABLE_RECORD_SCHEMA
+
+        batch = pa.Table.from_pydict({
+            "url": ["u", "v"], "table_idx": [0, 0], "n_rows": [1, 1],
+            "headers": [["name", "pop"], ["name", "area"]],
+            "col_types": [["string", "numeric"]] * 2,
+            "key_idx": [0, 0], "has_key": [True, True],
+            "rows": [[["a", "1"]], [["b", "2"]]],
+            "raw_keys": [["a"], ["b"]],
+        }, schema=_TABLE_RECORD_SCHEMA)
+        out = S.header_frequencies(rd.from_arrow(batch)).to_pandas()
+        m = dict(zip(out["header"], out["frequency"]))
+        assert m["name"] == 2 and m["pop"] == 1
