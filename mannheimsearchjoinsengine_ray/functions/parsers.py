@@ -124,6 +124,15 @@ _DATE_FORMAT_REGEXPS: dict[str, str] = {
 
 _COMPILED_DATE_REGEXPS = [(re.compile(rx), fmt) for rx, fmt in _DATE_FORMAT_REGEXPS.items()]
 
+# One combined alternation: group i ↔ format i (none of the per-format
+# patterns contain groups of their own).  A single C-level scan replaces up
+# to 57 fullmatch calls per value — the type-guess hot path.
+_FORMATS_BY_GROUP = list(_DATE_FORMAT_REGEXPS.values())
+_COMBINED_DATE_RE = re.compile(
+    "|".join(f"({rx[1:-1]})" for rx in _DATE_FORMAT_REGEXPS)  # strip ^...$
+)
+_HAS_DIGIT_RE = re.compile(r"\d")
+
 _MONTHS = {
     m.lower(): i + 1
     for i, m in enumerate(
@@ -137,10 +146,18 @@ _FMT_TOKEN_RE = re.compile(r"yyyy|yy|MMMM|MMM|MM|dd|HH|mm|ss|SSSSSS|SS|'T'|ZZZ|.
 
 
 def determine_date_format(value: str) -> str | None:
+    # every date format contains digits and fits in ~35 chars — cheap rejects
+    if len(value) > 35 or not _HAS_DIGIT_RE.search(value):
+        return None
     low = value.lower()
-    for rx, fmt in _COMPILED_DATE_REGEXPS:
-        if rx.fullmatch(low):
-            return fmt
+    m = _COMBINED_DATE_RE.fullmatch(low)
+    if m is None:
+        return None
+    # first (in insertion order) matching alternative wins — identical to the
+    # sequential scan over _COMPILED_DATE_REGEXPS
+    for gi in range(1, len(_FORMATS_BY_GROUP) + 1):
+        if m.group(gi) is not None:
+            return _FORMATS_BY_GROUP[gi - 1]
     return None
 
 
