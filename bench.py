@@ -49,6 +49,14 @@ def run_bench() -> dict:
     # corpus generation is not part of the measurement; also warms page cache
     corpus = corpus_for(SF_DIR)
 
+    # untimed warmup: start Ray worker processes so the measured run reflects
+    # pipeline compute, not one-time process spin-up (constant at every
+    # parallelism level, which would otherwise distort the scaling ratio)
+    import ray.data as rd
+
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 2) \
+        .map_batches(lambda b: b, batch_format="pyarrow").materialize()
+
     out_dir = f"/tmp/graft_bench_out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
 
@@ -87,7 +95,7 @@ def run_scaling() -> dict:
         # larger input for the scaling runs: fixed per-stage overheads
         # (actor startup, shuffle scheduling) amortize, so the measurement
         # reflects the compute/shuffle scaling, not constant costs
-        env.setdefault("GRAFT_BENCH_PAGES", "40000")
+        env.setdefault("GRAFT_BENCH_PAGES", "64000")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])

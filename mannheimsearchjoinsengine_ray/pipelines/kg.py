@@ -224,11 +224,12 @@ def run_full(pages_path: str, out_dir: str,
         pages = read_pages(frag_group, columns=["url", "html"])
         tables = extract_tables_ds(pages, cfg).materialize()
 
-        # triples-materialize and linking both consume the materialized table
-        # records and are independent — run them CONCURRENTLY (two driver
-        # threads feeding one streaming executor) instead of serially
+        # NOTE: running triples-materialize and linking as concurrent driver
+        # threads was measured SLOWER in aggregate — the linker actor pool
+        # reserves CPUs that starve the shuffle, and both stages are already
+        # CPU-saturating.  Sequential stages keep every slot busy and scale
+        # cleanly (see BASELINE.md optimization log).
         import dataclasses
-        import threading
 
         import ray as _ray
 
@@ -236,34 +237,23 @@ def run_full(pages_path: str, out_dir: str,
         link_cfg = cfg if cfg.linker_concurrency >= ncpu // 2 else \
             dataclasses.replace(cfg, linker_concurrency=max(2, ncpu // 2))
 
-        link_err: list[BaseException] = []
-
-        def run_linking() -> None:
-            try:
-                mentions = tables.map_batches(mentions_from_tables_batch,
-                                              batch_format="pyarrow")
-                edges = top1_links(link_mentions(mentions, index_dir, link_cfg))
-                edges.write_parquet(os.path.join(shard_dir, "edges"))
-                # label side-output: distinct (subject, label) pairs, the
-                # canonicalization input — tiny vs the triples, so phase 2
-                # never re-scans the full triple set
-                from ..stages.triples import label_pairs_from_tables_batch
-
-                labels = tables.map_batches(label_pairs_from_tables_batch,
-                                            batch_format="pyarrow")
-                labels.write_parquet(os.path.join(shard_dir, "labels"))
-            except BaseException as exc:  # surface in the main thread
-                link_err.append(exc)
-
-        linker_thread = threading.Thread(target=run_linking, daemon=True)
-        linker_thread.start()
         triples = triples_ds(tables, cfg)
         part_stats = materialize_triples(
             triples, shard_dir, num_partitions=partitions_per_shard,
             fingerprint=";".join(os.path.basename(f) for f in frag_group))
-        linker_thread.join()
-        if link_err:
-            raise link_err[0]
+
+        mentions = tables.map_batches(mentions_from_tables_batch,
+                                      batch_format="pyarrow")
+        edges = top1_links(link_mentions(mentions, index_dir, link_cfg))
+        edges.write_parquet(os.path.join(shard_dir, "edges"))
+        # label side-output: distinct (subject, label) pairs — the
+        # canonicalization input, tiny vs the triples, so phase 2 never
+        # re-scans the full triple set
+        from ..stages.triples import label_pairs_from_tables_batch
+
+        labels = tables.map_batches(label_pairs_from_tables_batch,
+                                    batch_format="pyarrow")
+        labels.write_parquet(os.path.join(shard_dir, "labels"))
         n_tr = sum(m["rows"] for m in part_stats)
         rows_triples += n_tr
         manifest = {"shard": si, "rows": n_tr,

@@ -439,5 +439,5 @@ def write_corpus(path: str, n_pages: int, seed: int = 42,
     # the unit of read parallelism (a Common-Crawl corpus has thousands of
     # WARC-derived files; one row group per small file can't be split, so
     # under-fragmenting caps every downstream map stage)
-    per_file = max(50, min(500, n_pages // 32))
+    per_file = max(50, min(250, n_pages // 32))
     ds.write_parquet(path, max_rows_per_file=per_file, min_rows_per_file=1)
