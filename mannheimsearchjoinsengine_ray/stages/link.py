@@ -30,6 +30,7 @@ EDGE_SCHEMA = pa.schema([
     ("score", pa.float64()),
     ("rank", pa.int32()),
     ("matched_name", pa.string()),
+    ("entity_type", pa.string()),
 ])
 
 
@@ -85,7 +86,7 @@ class LinkerActor:
                                          fuzzy=self.fuzzy, max_edit=self.max_edit)
                 if len(self._cache) < 200_000:
                     self._cache[m] = hits
-            for rank, (uri, score, name) in enumerate(hits):
+            for rank, (uri, score, name, etype) in enumerate(hits):
                 out["url"].append(url)
                 out["table_idx"].append(ti)
                 out["row_idx"].append(ri)
@@ -94,6 +95,7 @@ class LinkerActor:
                 out["score"].append(score)
                 out["rank"].append(rank)
                 out["matched_name"].append(name)
+                out["entity_type"].append(etype)
         return pa.Table.from_pydict(out, schema=EDGE_SCHEMA)
 
 
@@ -133,23 +135,29 @@ def aggregate_edges(edges_ds, left_total_mentions: int,
       queryEntitySum          = count * avgScore
     Group key here is the entity-URI prefix class (entity "table" analog).
     """
-    from ray.data.aggregate import Count, Mean, Sum
-
     def add_group(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        # entity "table" = URI up to the last path segment's alpha prefix;
-        # cheap deterministic grouping for the aggregation shuffle
-        uris = t.column("entity_uri").to_pylist()
-        groups = [u.rsplit("/", 1)[0] for u in uris]
+        # entity "table" analog = entity_type (the gazetteer's class — the
+        # skewed head types from F4 land here, absorbed by the two-phase
+        # combiner); falls back to the URI namespace when untyped
+        if "entity_type" in t.column_names:
+            types = t.column("entity_type").to_pylist()
+            uris = t.column("entity_uri").to_pylist()
+            groups = [ty if ty else u.rsplit("/", 1)[0]
+                      for ty, u in zip(types, uris)]
+        else:
+            groups = [u.rsplit("/", 1)[0]
+                      for u in t.column("entity_uri").to_pylist()]
         return t.append_column("entity_group", pa.array(groups, pa.string()))
 
-    agg = edges_ds.map_batches(add_group, batch_format="pyarrow") \
-        .groupby("entity_group").aggregate(
-            Count(alias_name="count"),
-            Sum("score", alias_name="sum_score"),
-            Mean("score", alias_name="avg_score"),
-        )
+    from .aggregates import two_phase_agg
+
+    agg = two_phase_agg(
+        edges_ds.map_batches(add_group, batch_format="pyarrow"),
+        ["entity_group"], {
+            "count": (None, "count"),
+            "sum_score": ("score", "sum"),
+            "avg_score": ("score", "mean"),
+        })
 
     def rank(df: pd.DataFrame) -> pd.DataFrame:
         if ranking == "queryTableCoverage":

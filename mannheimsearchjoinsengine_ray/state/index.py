@@ -42,6 +42,7 @@ POSTING_SCHEMA = pa.schema([
     ("name_norm", pa.string()),
     ("n_tokens", pa.int32()),
     ("is_primary", pa.bool_()),
+    ("entity_type", pa.string()),
 ])
 
 
@@ -52,8 +53,10 @@ def postings_from_entities_batch(batch: pa.Table) -> pa.Table:
     labels = batch.column("label").to_pylist()
     aliases = batch.column("aliases").to_pylist() if "aliases" in batch.column_names \
         else [[] for _ in uris]
+    types = batch.column("entity_type").to_pylist() \
+        if "entity_type" in batch.column_names else [""] * len(uris)
     cols = {n: [] for n in POSTING_SCHEMA.names}
-    for uri, label, als in zip(uris, labels, aliases):
+    for uri, label, als, etype in zip(uris, labels, aliases, types):
         names = [(label, True)] + [(a, False) for a in (als or [])]
         seen_norms = set()
         for name, primary in names:
@@ -68,6 +71,7 @@ def postings_from_entities_batch(batch: pa.Table) -> pa.Table:
                 cols["name_norm"].append(norm)
                 cols["n_tokens"].append(len(toks))
                 cols["is_primary"].append(primary)
+                cols["entity_type"].append(etype)
     return pa.Table.from_pydict(cols, schema=POSTING_SCHEMA)
 
 
@@ -118,14 +122,18 @@ class LabelIndex:
         self.entries_norm: list[str] = []
         self.entries_ntok: list[int] = []
         self.entries_primary: list[bool] = []
+        self.entries_type: list[str] = []
         entry_ids: dict[tuple[str, str], int] = {}
 
         for f in files:
             t = pq.read_table(f)
-            for tok, uri, norm, ntok, prim in zip(
+            has_type = "entity_type" in t.column_names
+            type_col = t.column("entity_type").to_pylist() if has_type \
+                else [""] * t.num_rows
+            for tok, uri, norm, ntok, prim, etype in zip(
                 t.column("token").to_pylist(), t.column("entity_uri").to_pylist(),
                 t.column("name_norm").to_pylist(), t.column("n_tokens").to_pylist(),
-                t.column("is_primary").to_pylist(),
+                t.column("is_primary").to_pylist(), type_col,
             ):
                 key = (uri, norm)
                 eid = entry_ids.get(key)
@@ -136,6 +144,7 @@ class LabelIndex:
                     self.entries_norm.append(norm)
                     self.entries_ntok.append(ntok)
                     self.entries_primary.append(prim)
+                    self.entries_type.append(etype)
                 tok_uris[tok].append(eid)
 
         self.postings: dict[str, np.ndarray] = {
@@ -164,9 +173,16 @@ class LabelIndex:
                     out.append(cand)
         return out
 
+    def entity_type_of(self, uri: str) -> str:
+        """entity_type of the first entry with this uri ('' if unknown)."""
+        try:
+            return self.entries_type[self.entries_uri.index(uri)]
+        except ValueError:
+            return ""
+
     def search(self, mention: str, top_k: int = 10, fuzzy: bool = True,
-               max_edit: int = 1) -> list[tuple[str, float, str]]:
-        """→ [(entity_uri, score, matched_name_norm)] sorted by score desc.
+               max_edit: int = 1) -> list[tuple[str, float, str, str]]:
+        """→ [(entity_uri, score, matched_name_norm, entity_type)] by score desc.
 
         Scoring: sum of idf over matched tokens, normalized by the larger of
         the mention/name token counts (OR-query TF-IDF), then blended 50/50
@@ -198,7 +214,7 @@ class LabelIndex:
                 acc[eid] += w
                 matched[eid] += 1
 
-        results: list[tuple[str, float, str]] = []
+        results: list[tuple[str, float, str, str]] = []
         for eid, s in acc.items():
             name = self.entries_norm[eid]
             denom = max(len(tokset), int(self.entries_ntok[eid]))
@@ -207,16 +223,17 @@ class LabelIndex:
             score = 0.5 * tfidf + 0.5 * jac
             if name == norm:
                 score += 10.0  # exact normalized match dominates
-            results.append((self.entries_uri[eid], score, name))
+            results.append((self.entries_uri[eid], score, name,
+                            self.entries_type[eid]))
         results.sort(key=lambda r: (-r[1], r[0]))
         # dedup per entity uri keeping best name (per-(value,table) dedup analog)
         seen: set[str] = set()
         out = []
-        for uri, score, name in results:
+        for uri, score, name, etype in results:
             if uri in seen:
                 continue
             seen.add(uri)
-            out.append((uri, score, name))
+            out.append((uri, score, name, etype))
             if len(out) >= top_k:
                 break
         return out

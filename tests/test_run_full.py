@@ -1,0 +1,114 @@
+"""run_full (4-stage pipeline) tests: phases, resume, entity-type grouping,
+skew stress."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mannheimsearchjoinsengine_ray.config import PipelineConfig
+from mannheimsearchjoinsengine_ray.pipelines import kg
+from mannheimsearchjoinsengine_ray.sources import pages as P
+from mannheimsearchjoinsengine_ray.stages import canonicalize as C
+from mannheimsearchjoinsengine_ray.stages import link as L
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("full_corpus"))
+    P.write_corpus(d, n_pages=100, seed=42, parallelism=4)
+    return d
+
+
+def test_run_full_phases_and_resume(ray_session, corpus_dir, tmp_path):
+    out = str(tmp_path / "full_out")
+    m1 = kg.run_full(corpus_dir, out, num_shards=2, partitions_per_shard=2)
+    assert m1["final_rows"] > 0
+    assert os.path.exists(os.path.join(out, "index_manifest.json"))
+    assert os.path.exists(os.path.join(out, "final_manifest.json"))
+    # edges + labels side-outputs exist per shard
+    for si in range(2):
+        sd = os.path.join(out, f"shard={si:05d}")
+        assert os.path.isdir(os.path.join(sd, "edges"))
+        assert os.path.isdir(os.path.join(sd, "labels"))
+    # resume: everything skipped, same row count
+    m2 = kg.run_full(corpus_dir, out, num_shards=2, partitions_per_shard=2)
+    assert m2["final_rows"] == m1["final_rows"]
+    assert m2["triples"] == 0  # nothing re-ran
+    assert m2["wall_sec"] < m1["wall_sec"]
+
+
+def test_edges_carry_entity_type(ray_session, corpus_dir, tmp_path):
+    out = str(tmp_path / "typed_out")
+    kg.run_full(corpus_dir, out, num_shards=1, partitions_per_shard=2)
+    import ray.data as rd
+
+    edges = rd.read_parquet(os.path.join(out, "shard=00000", "edges")).to_pandas()
+    assert "entity_type" in edges.columns
+    types = set(edges["entity_type"]) - {""}
+    # head types (F4 skew) must appear
+    assert types & {"Place", "Person", "Organisation"}
+    agg = L.aggregate_edges(
+        rd.read_parquet(os.path.join(out, "shard=00000", "edges")),
+        left_total_mentions=len(edges)).to_pandas()
+    assert set(agg["entity_group"]) >= (types & {"Place", "Person", "Organisation"})
+    # ~30% of entities are head-typed: their aggregate count dominates no
+    # single group pathologically (two-phase combiner absorbed the skew)
+    assert agg["count"].sum() == len(edges)
+
+
+def test_lsh_hot_block_bounded(ray_session):
+    """Skew stress: 500 near-identical names share every band — star capping
+    keeps candidate pairs O(n), not O(n^2)."""
+    names = [f"common shared name variant{i % 3}" for i in range(500)]
+    df = pd.DataFrame({"id": [f"id{i:04d}" for i in range(500)], "name": names})
+    t0 = time.time()
+    edges = C.alias_edges_local(df, PipelineConfig(), min_jaccard=0.5)
+    wall = time.time() - t0
+    # O(n^2) would be ~125k pairs; star capping bounds it near O(n·bands)
+    assert len(edges) < 20_000
+    assert wall < 10.0
+    # components still connect everything that shares a name variant
+    comp = C.connected_components_local(edges)
+    assert comp["component"].nunique() <= 3
+
+
+def test_distributed_cc_random_graph(ray_session):
+    """Distributed CC equals union-find on a random 300-edge graph."""
+    import numpy as np
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    edges = pd.DataFrame({
+        "left_id": [f"n{rng.integers(0, 120):03d}" for _ in range(300)],
+        "right_id": [f"n{rng.integers(0, 120):03d}" for _ in range(300)],
+    })
+    edges = edges[edges["left_id"] != edges["right_id"]].reset_index(drop=True)
+    local = C.connected_components_local(edges)
+    dist = C.connected_components_distributed(rd.from_pandas(edges),
+                                              num_partitions=4).to_pandas()
+    a = local.sort_values("id").reset_index(drop=True)
+    b = dist.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_tables_per_key_distribution(ray_session):
+    import ray.data as rd
+
+    from mannheimsearchjoinsengine_ray.stages.stats import tables_per_key_distribution
+
+    mentions = pd.DataFrame({
+        "url": ["u1", "u1", "u2", "u2"],
+        "table_idx": [0, 0, 0, 1],
+        "row_idx": [0, 1, 0, 0],
+        "mention": ["alpha", "alpha", "alpha", "beta"],
+    })
+    out = tables_per_key_distribution(rd.from_pandas(mentions)).to_pandas()
+    m = dict(zip(out["mention"], out["n_tables"]))
+    assert m["alpha"] == 2  # u1/t0 (deduped) + u2/t0
+    assert m["beta"] == 1
