@@ -17,6 +17,29 @@ from __future__ import annotations
 import pandas as pd
 
 
+def dedupe_by_key(ds, key: str, num_buckets: int = 32):
+    """Global distinct-by-key with a LOW-cardinality shuffle: per-batch
+    drop_duplicates (map-side combine) → bucket = hash(key) % B →
+    groupby(bucket).map_groups(drop_duplicates).  B groups regardless of key
+    cardinality — the per-group overhead of a high-cardinality groupby never
+    appears.  First row per key wins within a bucket (deterministic given
+    deterministic upstream order per key)."""
+    import numpy as np
+
+    from ..functions.hashing import hash64
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(key)
+        df["__bucket"] = (hash64(df[key].astype(str).to_numpy())
+                          % np.uint64(num_buckets)).astype("int64")
+        return df
+
+    return ds.map_batches(local, batch_format="pandas") \
+        .groupby("__bucket") \
+        .map_groups(lambda g: g.drop_duplicates(key).drop(columns="__bucket"),
+                    batch_format="pandas")
+
+
 def two_phase_agg(ds, keys: list[str], spec: dict[str, tuple[str | None, str]],
                   final_blocks: int = 8):
     """spec: output_name -> (input_column | None, fn); fn ∈ {sum,count,min,max,mean}.

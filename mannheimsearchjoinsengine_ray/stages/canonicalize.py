@@ -42,7 +42,7 @@ class LshBlocker:
     """(id, name) batches → (band_idx, band_hash, id, name) rows.  Stateful:
     the permutation tables compile once per actor/worker."""
 
-    def __init__(self, num_perm: int = 64, num_bands: int = 16,
+    def __init__(self, num_perm: int = 64, num_bands: int = 8,
                  shingle_tokens: bool = True):
         self.mh = MinHasher(num_perm=num_perm)
         self.num_bands = num_bands
@@ -74,7 +74,7 @@ _BLOCKER_CACHE: dict[tuple[int, int], "LshBlocker"] = {}
 
 
 def lsh_block_batch(batch: pa.Table, num_perm: int = 64,
-                    num_bands: int = 16) -> pa.Table:
+                    num_bands: int = 8) -> pa.Table:
     """Function form of LshBlocker for stateless tasks: the hasher is cached
     at module level (once per worker process — same amortization as an actor
     without the pool spin-up; right for light state like permutation tables)."""
@@ -115,8 +115,46 @@ def candidate_pairs(blocked_ds, max_block: int = 50):
     """groupby(band) → unordered candidate pairs.  Blocks larger than
     ``max_block`` are truncated after sorting by id (deterministic) — the
     skew guard; every member still pairs with the block minimum so the
-    component structure survives (star pattern instead of clique)."""
-    return blocked_ds.repartition(8).groupby(["band_idx", "band_hash"]) \
+    component structure survives (star pattern instead of clique).
+
+    Almost every (band_idx, band_hash) key is a singleton that cannot yield a
+    pair; since map_groups pays per-group overhead, singletons are dropped
+    FIRST.  The duplicated-band-key set is found WITHOUT a high-cardinality
+    Ray aggregate (this version's groupby cost scales with group count):
+    per-batch pandas counts are merged on the driver — partials are bounded
+    by the blocked row count, a few MB at millions of labels.  (Beyond ~10^8
+    distinct band keys the merge itself would need a tree reduce.)"""
+    import ray
+
+    blocked_ds = blocked_ds.materialize()
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["band_idx", "band_hash"], sort=False).size()
+        return g.rename("n").reset_index()
+
+    partials = blocked_ds.map_batches(partial_counts,
+                                      batch_format="pandas").to_pandas()
+    if partials.empty:
+        return blocked_ds.limit(0).map_batches(
+            lambda g: _pairs_from_group(g, max_block), batch_format="pandas")
+    totals = partials.groupby(["band_idx", "band_hash"], sort=False)["n"].sum()
+    hot = totals[totals >= 2]
+    if hot.empty:
+        return blocked_ds.limit(0).map_batches(
+            lambda g: _pairs_from_group(g, max_block), batch_format="pandas")
+    hot_keys = set(hot.index)
+    hot_ref = ray.put(hot_keys)
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(hot_ref)
+        mask = [
+            (bi, bh) in keys
+            for bi, bh in zip(df["band_idx"], df["band_hash"])
+        ]
+        return df[pd.Series(mask, index=df.index)]
+
+    return blocked_ds.map_batches(semi, batch_format="pandas") \
+        .repartition(8).groupby(["band_idx", "band_hash"]) \
         .map_groups(lambda g: _pairs_from_group(g, max_block),
                     batch_format="pandas")
 
@@ -327,14 +365,15 @@ def alias_edges_from_labels(labels_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                             min_jaccard: float | None = None):
     """(id, name) label pairs → verified near-duplicate id pairs.
 
-    Labels repeat (across pages/shards): per-batch dedupe is the map-side
-    combine, the small groupby-min collapses cross-batch repeats, and
-    signatures are computed once per distinct id."""
-    from ray.data.aggregate import Min
+    Labels repeat (across pages/shards): global dedupe runs as a
+    LOW-cardinality bucket shuffle (aggregates.dedupe_by_key) — per-batch
+    drop_duplicates as the map-side combine, then hash(id)%32 buckets, so
+    neither the per-group overhead of a high-cardinality groupby nor
+    cross-shard repeats (which would defeat the singleton-band prefilter in
+    candidate_pairs) survive."""
+    from .aggregates import dedupe_by_key
 
-    labels = labels_ds.map_batches(
-        lambda df: df.drop_duplicates("id"), batch_format="pandas") \
-        .repartition(8).groupby("id").aggregate(Min("name", alias_name="name"))
+    labels = dedupe_by_key(labels_ds, "id", num_buckets=32)
     blocked = labels.map_batches(
         lsh_block_batch,
         fn_kwargs={"num_perm": cfg.minhash_num_perm,
