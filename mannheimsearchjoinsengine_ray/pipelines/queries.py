@@ -490,6 +490,16 @@ def q_kg_values_per_subject(sf_dir: str):
     return values_per_key_distribution(pages_to_triples(corpus_for(sf_dir)))
 
 
+def q_kg_link_columns(sf_dir: str):
+    """Link-column scan over extracted web tables (WikiLinkLookup analog).
+    Rows-only oracle."""
+    from .kg import extract_tables_ds, read_pages
+    from ..stages.stats import link_column_scan
+
+    pages = read_pages(corpus_for(sf_dir), columns=["url", "html"])
+    return link_column_scan(extract_tables_ds(pages))
+
+
 def q_kg_header_frequencies(sf_dir: str):
     """Header frequency distribution over extracted web tables.  Rows-only."""
     from .kg import extract_tables_ds, read_pages
@@ -639,4 +649,5 @@ QUERIES: dict = {
     "kg_fused_table": q_kg_fused_table,
     "kg_values_per_subject": q_kg_values_per_subject,
     "kg_header_frequencies": q_kg_header_frequencies,
+    "kg_link_columns": q_kg_link_columns,
 }

@@ -65,6 +65,46 @@ def header_frequencies(tables_ds):
     return two_phase_agg(exploded, ["header"], {"frequency": (None, "count")})
 
 
+def link_column_scan(tables_ds, min_link_ratio: float = 0.1,
+                     domain_substring: str | None = None):
+    """Scan extracted tables for link columns (WikiLinkLookup analog,
+    SJ/wikipedia/WikiLinkLookup.java:42-120: columns with >10% wikipedia.org
+    links): per column, the fraction of URL-shaped cells, optionally
+    restricted to a domain substring.  Returns (url, table_idx, col_idx,
+    header, link_ratio) for qualifying columns."""
+    from ..functions.parsers import parse_url
+
+    def scan(batch: pa.Table) -> pd.DataFrame:
+        out = {"url": [], "table_idx": [], "col_idx": [], "header": [],
+               "link_ratio": []}
+        for url, ti, headers, rows in zip(
+            batch.column("url").to_pylist(), batch.column("table_idx").to_pylist(),
+            batch.column("headers").to_pylist(), batch.column("rows").to_pylist(),
+        ):
+            if not rows:
+                continue
+            for ci, header in enumerate(headers):
+                hits = 0
+                total = 0
+                for r in rows:
+                    v = r[ci] if ci < len(r) else None
+                    if v in (None, "", NULL_VALUE):
+                        continue
+                    total += 1
+                    if parse_url(v) and (domain_substring is None
+                                         or domain_substring in v):
+                        hits += 1
+                if total and hits / total > min_link_ratio:
+                    out["url"].append(url)
+                    out["table_idx"].append(ti)
+                    out["col_idx"].append(ci)
+                    out["header"].append(header)
+                    out["link_ratio"].append(hits / total)
+        return pd.DataFrame(out)
+
+    return tables_ds.map_batches(scan, batch_format="pyarrow")
+
+
 def null_density_per_column(df: pd.DataFrame) -> pd.DataFrame:
     """(column_name, null_density) for a pandas frame — NULL sentinel aware."""
     rows = []

@@ -153,6 +153,29 @@ class TestStats:
         assert cleaned_rows[0][2] == "123.0"   # numeric normalized
         assert len(cleaned_rows) == 5          # all-null row dropped
 
+    def test_link_column_scan(self, ray_session):
+        import ray.data as rd
+
+        from mannheimsearchjoinsengine_ray.stages.extract import _TABLE_RECORD_SCHEMA
+
+        rows = [["a", "http://en.wikipedia.org/wiki/A", "x"],
+                ["b", "http://en.wikipedia.org/wiki/B", "y"],
+                ["c", "plain text", "z"],
+                ["d", "http://other.com/d", "w"],
+                ["e", "http://en.wikipedia.org/wiki/E", "v"]]
+        batch = pa.Table.from_pydict({
+            "url": ["u"], "table_idx": [0], "n_rows": [5],
+            "headers": [["name", "wiki", "note"]],
+            "col_types": [["string", "link", "string"]],
+            "key_idx": [0], "has_key": [True],
+            "rows": [rows], "raw_keys": [[r[0] for r in rows]],
+        }, schema=_TABLE_RECORD_SCHEMA)
+        out = S.link_column_scan(rd.from_arrow(batch),
+                                 domain_substring="wikipedia.org").to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0]["header"] == "wiki"
+        assert out.iloc[0]["link_ratio"] == 0.6
+
     def test_header_frequencies(self, ray_session):
         import ray.data as rd
 
