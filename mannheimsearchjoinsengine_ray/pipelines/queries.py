@@ -170,6 +170,24 @@ def q_orders_without_lineitems(sf_dir: str):
     return out.to_pandas()
 
 
+def q_events_last_order(sf_dir: str):
+    """As-of join: for each event, the user's most recent order at/before the
+    event timestamp (asof_join operator: bucket + sorted merge_asof).  The
+    right side is pre-deduped to one row per (key, ts) with max orderkey so
+    ties resolve identically to the SQL oracle."""
+    from ..stages.aggregates import two_phase_agg
+    from ..stages.joins import asof_join
+
+    events = _rp(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = two_phase_agg(
+        _rp(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]),
+        ["o_custkey", "o_orderdate"], {"o_orderkey": ("o_orderkey", "max")})
+    out = asof_join(events, orders, left_on="user_id", right_on="o_custkey",
+                    left_ts="ts", right_ts="o_orderdate")
+    df = out.to_pandas()[["event_id", "user_id", "o_orderkey"]]
+    return df.astype({"o_orderkey": "int64"})
+
+
 def q_events_hourly_window(sf_dir: str):
     """Tumbling-window aggregate over the event stream (streaming-shaped
     workload per the Ray guide: batch windows via truncated-timestamp
@@ -558,6 +576,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders
         WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
     """,
+    "events_last_order": """
+        WITH o AS (
+            SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+            FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id, o.o_orderkey
+        FROM events e
+        ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
     "events_hourly_window": """
         SELECT event_type, date_trunc('hour', ts) AS window_start,
                COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
@@ -627,6 +654,7 @@ QUERIES: dict = {
     "customers_with_orders": q_customers_with_orders,
     "orders_without_lineitems": q_orders_without_lineitems,
     "events_hourly_window": q_events_hourly_window,
+    "events_last_order": q_events_last_order,
     "top_users_by_value": q_top_users_by_value,
     "orders_by_month": q_orders_by_month,
     "part_price_stats": q_part_price_stats,

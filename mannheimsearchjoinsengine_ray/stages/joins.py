@@ -27,6 +27,18 @@ import pyarrow as pa
 from ..functions.hashing import hash64
 
 
+def _schema_names(ds) -> list[str]:
+    sch = ds.schema()
+    names = getattr(sch, "names", None)
+    if names:
+        return list(names)
+    base = getattr(sch, "base_schema", sch)
+    out = []
+    for f in base:
+        out.append(f.name if hasattr(f, "name") else str(f))
+    return out
+
+
 def _prep(ds, on: str, bucket_count: int, side: int, all_cols: list[str]):
     def tag(df: pd.DataFrame) -> pd.DataFrame:
         out = pd.DataFrame()
@@ -48,8 +60,8 @@ def bucket_join(left_ds, right_ds, left_on: str, right_on: str,
                 bucket_count: int = 32, how: str = "inner"):
     """Hash-partitioned join of two Datasets → Dataset with the union of
     columns (join key kept under the LEFT name)."""
-    left_cols = [f.name for f in left_ds.schema().base_schema]
-    right_cols = [f.name for f in right_ds.schema().base_schema]
+    left_cols = _schema_names(left_ds)
+    right_cols = _schema_names(right_ds)
     shared = (set(left_cols) - {left_on}) & (set(right_cols) - {right_on})
     if shared:
         raise ValueError(f"overlapping non-key columns: {shared}")
@@ -64,6 +76,53 @@ def bucket_join(left_ds, right_ds, left_on: str, right_on: str,
         l = group[group["__side"] == 0]
         r = group[group["__side"] == 1]
         m = l[["__key"] + lc].merge(r[["__key"] + rc], on="__key", how=how)
+        return m.rename(columns={"__key": left_on})
+
+    return l2.union(r2).groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def asof_join(left_ds, right_ds, left_on: str, right_on: str,
+              left_ts: str, right_ts: str, bucket_count: int = 16,
+              inner: bool = True):
+    """As-of join (nearest right row with right_ts <= left_ts per key): sort
+    both sides by (key, ts) within hash(key) buckets and ``pd.merge_asof``
+    per bucket — the range-join pattern from the Ray guide.  One groupby
+    shuffle; ordering assumption: ts sortable within a bucket's memory."""
+    left_cols = _schema_names(left_ds)
+    right_cols = _schema_names(right_ds)
+    shared = (set(left_cols) - {left_on}) & (set(right_cols) - {right_on})
+    if shared:
+        raise ValueError(f"overlapping non-key columns: {shared}")
+    all_cols = sorted((set(left_cols) - {left_on}) | (set(right_cols) - {right_on}))
+
+    l2 = _prep(left_ds, left_on, bucket_count, 0, all_cols)
+    r2 = _prep(right_ds, right_on, bucket_count, 1, all_cols)
+    lc = [c for c in left_cols if c != left_on]
+    rc = [c for c in right_cols if c != right_on]
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0][["__key"] + lc] \
+            .sort_values([left_ts, "__key"]).reset_index(drop=True)
+        r = group[group["__side"] == 1][["__key"] + rc] \
+            .sort_values([right_ts, "__key"]).reset_index(drop=True)
+        # blocks may carry different timestamp resolutions (us vs ns)
+        # depending on which stage produced them — merge_asof needs equal dtypes
+        if pd.api.types.is_datetime64_any_dtype(l[left_ts]):
+            l[left_ts] = l[left_ts].astype("datetime64[ns]")
+        if pd.api.types.is_datetime64_any_dtype(r[right_ts]):
+            r[right_ts] = r[right_ts].astype("datetime64[ns]")
+        if l.empty:
+            return pd.DataFrame(columns=["__key"] + lc + rc).rename(
+                columns={"__key": left_on})
+        if r.empty:
+            m = l.copy()
+            for c in rc:
+                m[c] = None
+        else:
+            m = pd.merge_asof(l, r, left_on=left_ts, right_on=right_ts,
+                              by="__key", direction="backward")
+        if inner:
+            m = m[m[right_ts].notna()]
         return m.rename(columns={"__key": left_on})
 
     return l2.union(r2).groupby("__bucket").map_groups(merge, batch_format="pandas")
