@@ -257,7 +257,32 @@ class HyperplaneBucketer:
 
 
 def embedding_dedup_pairs(emb_ds, min_cosine: float = 0.95, dim: int = 64,
-                          id_col: str = "vec_id", vec_col: str = "embedding"):
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          exact_threshold: int = 20_000):
+    """Cosine-similar pairs.  Adaptive: below ``exact_threshold`` vectors the
+    exact all-pairs matmul runs on the driver (hyperplane LSH only has recall
+    for near-identical vectors; exact is both cheap and complete at this
+    size); above it, the hyperplane-bucketed distributed path runs."""
+    n = emb_ds.count()
+    if n <= exact_threshold:
+        df = emb_ds.to_pandas()
+        vecs = np.asarray(df[vec_col].tolist(), dtype=np.float64)
+        unit = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        sims = unit @ unit.T
+        iu = np.triu_indices(n, k=1)
+        mask = sims[iu] >= min_cosine
+        li = df[id_col].to_numpy()[iu[0][mask]]
+        ri = df[id_col].to_numpy()[iu[1][mask]]
+        out = pd.DataFrame({"left_id": li, "right_id": ri,
+                            "cosine": sims[iu][mask]})
+        import ray.data as rd
+
+        if out.empty:
+            out = pd.DataFrame({"left_id": pd.Series(dtype=df[id_col].dtype),
+                                "right_id": pd.Series(dtype=df[id_col].dtype),
+                                "cosine": pd.Series(dtype="float64")})
+        return rd.from_pandas(out)
+
     blocked = emb_ds.map_batches(
         HyperplaneBucketer,
         fn_constructor_kwargs={"dim": dim, "id_col": id_col, "vec_col": vec_col},

@@ -86,6 +86,12 @@ def test_embedding_dedup(ray_session):
         "embedding": [v.tolist() for v in vecs],
     }))
     pairs = D.embedding_dedup_pairs(ds, min_cosine=0.95, dim=32).to_pandas()
+    # distributed LSH path must find the same planted near-identical pairs
+    lsh_pairs = D.embedding_dedup_pairs(ds, min_cosine=0.95, dim=32,
+                                        exact_threshold=0).to_pandas()
+    lsh_found = {tuple(sorted((int(a), int(b))))
+                 for a, b in zip(lsh_pairs["left_id"], lsh_pairs["right_id"])}
+    assert (10, 51) in lsh_found
     found = {tuple(sorted((int(a), int(b))))
              for a, b in zip(pairs["left_id"], pairs["right_id"])}
     assert (10, 51) in found

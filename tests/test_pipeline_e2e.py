@@ -118,6 +118,23 @@ def test_invalid_tables_rejected(ray_session):
     assert E.process_table(tables[0]) is None
 
 
+def test_malformed_html_robust(ray_session):
+    """Parser must not crash or mis-count on broken markup."""
+    cases = [
+        b"<html><table><tr><td>a</td><td>b",               # unclosed everything
+        b"</td></tr></table>stray closers",                # stray closers
+        b"<table><table><tr><td>nested</td></tr></table></table>",
+        b"<p>text & unterminated entity &am",
+        b"\xff\xfe invalid utf8 \x80<table><tr><th>h</th></tr></table>",
+        b"",
+    ]
+    for html in cases:
+        text, tables = E.parse_page_full(html)
+        assert isinstance(text, str)
+        for raw in tables:
+            E.process_table(raw)  # must not raise
+
+
 def test_ntriples_formatting():
     line = T.format_ntriple("http://x/S", T.RDFS_LABEL, "Some Value", "string")
     assert line == f'<http://x/S> <{T.RDFS_LABEL}> "Some Value"@en .'
