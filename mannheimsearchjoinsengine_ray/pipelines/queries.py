@@ -221,6 +221,52 @@ def q_top_users_by_value(sf_dir: str):
     return _round_df(out.to_pandas(), {"total_value": 2})
 
 
+def q_urgent_share_by_status(sf_dir: str):
+    """Conditional aggregate (CASE semantics): share of urgent/high-priority
+    orders per status — vectorized flag column + two-phase sums."""
+    from ..stages.aggregates import two_phase_agg
+
+    ds = _rp(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df["urgent"] = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).astype("int64")
+        return df[["o_orderstatus", "urgent"]]
+
+    agg = two_phase_agg(ds.map_batches(flag, batch_format="pandas"),
+                        ["o_orderstatus"],
+                        {"n_urgent": ("urgent", "sum"), "n_total": (None, "count")})
+    df = agg.to_pandas()
+    df["urgent_share"] = (df["n_urgent"] / df["n_total"]).round(6)
+    return df
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped: revenue of undelivered lineitems per order, top 10
+    (filter + bucket join + two-phase aggregate + rank sort + limit)."""
+    from ..stages.aggregates import two_phase_agg
+    from ..stages.joins import bucket_join
+
+    cutoff = pd.Timestamp("1995-03-15")
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    orders = orders.map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))),
+        batch_format="pyarrow")
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    li = li.map_batches(
+        lambda t: pa.table({
+            "l_orderkey": t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))["l_orderkey"],
+            "revenue": pc.multiply(
+                t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0),
+                            t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))["l_discount"]))}),
+        batch_format="pyarrow")
+    joined = bucket_join(li, orders, "l_orderkey", "o_orderkey", 16)
+    agg = two_phase_agg(joined, ["l_orderkey"], {"revenue": ("revenue", "sum")})
+    out = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    return _round_df(out.to_pandas(), {"revenue": 2})
+
+
 def q_orders_by_month(sf_dir: str):
     """Date-truncation groupby (DateUtil/CalendarUtil parsing domain)."""
     from ray.data.aggregate import Count
@@ -599,6 +645,25 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY total_value DESC, user_id
         LIMIT 20
     """,
+    "urgent_share_by_status": """
+        SELECT o_orderstatus,
+               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS n_urgent,
+               COUNT(*) AS n_total,
+               ROUND(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS urgent_share
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "shipping_priority": """
+        SELECT l_orderkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
     "orders_by_month": """
         SELECT date_trunc('month', o_orderdate) AS month, o_orderpriority,
                COUNT(*) AS n_orders
@@ -657,6 +722,8 @@ QUERIES: dict = {
     "events_last_order": q_events_last_order,
     "top_users_by_value": q_top_users_by_value,
     "orders_by_month": q_orders_by_month,
+    "urgent_share_by_status": q_urgent_share_by_status,
+    "shipping_priority": q_shipping_priority,
     "part_price_stats": q_part_price_stats,
     "distinct_brands": q_distinct_brands,
     "token_counts": q_token_counts,

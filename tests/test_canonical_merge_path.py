@@ -1,0 +1,48 @@
+"""Exercise run_full's NON-identity canonicalization path: a permissive
+fuzzy threshold + wider banding makes near-label subjects merge, forcing the
+URI-rewrite + final-materialize branch."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from mannheimsearchjoinsengine_ray.config import PipelineConfig
+from mannheimsearchjoinsengine_ray.pipelines import kg
+from mannheimsearchjoinsengine_ray.sources import pages as P
+
+
+def test_run_full_merge_path(ray_session, tmp_path):
+    corpus = str(tmp_path / "corpus")
+    P.write_corpus(corpus, n_pages=80, seed=42, parallelism=2)
+    out = str(tmp_path / "out")
+    # entity labels share 2-of-3 tokens constantly ("red river 12" vs
+    # "red river 120"): jaccard ~0.5, so threshold 0.45 with r=4 banding
+    # produces a non-empty sameAs mapping
+    cfg = PipelineConfig(fuzzy_min_confidence=0.45, minhash_bands=16)
+    m = kg.run_full(corpus, out, cfg=cfg, num_shards=1, partitions_per_shard=2)
+    assert m.get("merged_uris", 0) > 0
+
+    with open(os.path.join(out, "final_manifest.json")) as fh:
+        manifest = json.load(fh)
+    assert manifest["layout"] == "final"
+    assert manifest["merged_uris"] == m["merged_uris"]
+
+    # the final dir holds the full rewritten triple set
+    import ray.data as rd
+
+    final_files = []
+    final_dir = os.path.join(out, "final")
+    for d in sorted(os.listdir(final_dir)):
+        if d.startswith("part="):
+            pd_dir = os.path.join(final_dir, d)
+            final_files.extend(os.path.join(pd_dir, f)
+                               for f in os.listdir(pd_dir) if f.endswith(".parquet"))
+    final = rd.read_parquet(final_files)
+    assert final.count() == m["final_rows"] == m["triples"]
+    # merged subjects no longer appear
+    phase1 = kg.read_output(out).to_pandas()
+    final_df = final.to_pandas()
+    assert final_df["subj"].nunique() < phase1["subj"].nunique()
