@@ -253,14 +253,15 @@ def q_shipping_priority(sf_dir: str):
         batch_format="pyarrow")
     li = _rp(sf_dir, "lineitem",
              ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
-    li = li.map_batches(
-        lambda t: pa.table({
-            "l_orderkey": t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))["l_orderkey"],
-            "revenue": pc.multiply(
-                t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))["l_extendedprice"],
-                pc.subtract(pa.scalar(1.0),
-                            t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))["l_discount"]))}),
-        batch_format="pyarrow")
+    def late_revenue(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "revenue": pc.multiply(t["l_extendedprice"],
+                                   pc.subtract(pa.scalar(1.0), t["l_discount"])),
+        })
+
+    li = li.map_batches(late_revenue, batch_format="pyarrow")
     joined = bucket_join(li, orders, "l_orderkey", "o_orderkey", 16)
     agg = two_phase_agg(joined, ["l_orderkey"], {"revenue": ("revenue", "sum")})
     out = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
