@@ -422,11 +422,19 @@ def write_corpus(path: str, n_pages: int, seed: int = 42,
     """Generate the corpus to partitioned Parquet via Ray Data (idempotent:
     skips when the output directory already exists and is non-empty)."""
     import os
+    import shutil
 
     import ray.data as rd
 
-    if os.path.isdir(path) and any(f.endswith(".parquet") for f in os.listdir(path)):
+    done_marker = path.rstrip("/") + ".complete"  # outside the dir so
+    # read_parquet(dir) never sees a non-parquet file
+    if os.path.exists(done_marker):
         return
+    if os.path.isdir(path):
+        # partial output from a killed run — regenerate from scratch
+        shutil.rmtree(path)
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
     nblocks = parallelism or max(2, n_pages // 2000)
     ds = rd.range(n_pages, override_num_blocks=nblocks)
     ds = ds.map_batches(
@@ -440,4 +448,7 @@ def write_corpus(path: str, n_pages: int, seed: int = 42,
     # WARC-derived files; one row group per small file can't be split, so
     # under-fragmenting caps every downstream map stage)
     per_file = max(50, min(250, n_pages // 32))
-    ds.write_parquet(path, max_rows_per_file=per_file, min_rows_per_file=1)
+    ds.write_parquet(tmp, max_rows_per_file=per_file, min_rows_per_file=1)
+    os.replace(tmp, path)
+    with open(done_marker, "w") as fh:
+        fh.write("ok")
