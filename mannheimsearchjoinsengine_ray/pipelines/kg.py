@@ -216,11 +216,18 @@ def run_full(pages_path: str, out_dir: str,
 
     done = completed_shards(out_dir)
     t1 = time.time()
-    rows_triples = rows_edges = 0
+    rows_triples = 0
     for si, frag_group in enumerate(shards):
         if si in done or not frag_group:
             continue
         shard_dir = os.path.join(out_dir, f"shard={si:05d}")
+        # the shard MANIFEST is the commit record: a crash mid-shard leaves
+        # partial side-outputs that a rerun must replace, not append to
+        # (Ray's write_parquet adds files to an existing directory)
+        import shutil as _shutil
+
+        for sub in ("edges", "labels"):
+            _shutil.rmtree(os.path.join(shard_dir, sub), ignore_errors=True)
         pages = read_pages(frag_group, columns=["url", "html"])
         tables = extract_tables_ds(pages, cfg).materialize()
 
@@ -305,7 +312,11 @@ def run_full(pages_path: str, out_dir: str,
                         rd.read_parquet(label_files), cfg).to_pandas()
                 mapping = mapping_from_edges(edges_df, cfg)
         if mapping:
-            triples_all = read_output(out_dir).drop_columns(["shard", "part"])
+            triples_all = read_output(out_dir)
+            part_cols = [c for c in ("shard", "part")
+                         if c in (triples_all.schema().names or [])]
+            if part_cols:
+                triples_all = triples_all.drop_columns(part_cols)
             part_stats = materialize_triples(
                 apply_canonical_mapping(triples_all, mapping), final_dir,
                 num_partitions=cfg.num_output_partitions, fingerprint="phase2")
