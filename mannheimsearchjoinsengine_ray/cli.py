@@ -81,8 +81,6 @@ def main(argv: list[str] | None = None) -> int:
                 print("query table has no identifiable key", file=sys.stderr)
                 return 2
             # link the query keys, fuse against corpus triples
-            import pandas as pd
-
             linker = LinkerActor(args.index, top_k=1)
             import pyarrow as pa
 

@@ -186,7 +186,6 @@ def run_full(pages_path: str, out_dir: str,
     import ray.data as rd
 
     from ..sources.pages import make_gazetteer
-    from ..stages.canonicalize import canonicalize_triples
     from ..stages.link import link_mentions, mentions_from_tables_batch, top1_links
     from ..state.index import build_index
     import pyarrow as _pa

@@ -30,7 +30,6 @@ from __future__ import annotations
 from dataclasses import dataclass
 from html.parser import HTMLParser
 
-import numpy as np
 import pyarrow as pa
 
 from ..config import NULL_VALUE, DEFAULT_CONFIG, PipelineConfig

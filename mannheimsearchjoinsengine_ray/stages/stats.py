@@ -14,7 +14,6 @@ Port of SURVEY §2.5/§2.6 stats & cleaning operators:
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 

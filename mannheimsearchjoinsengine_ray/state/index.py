@@ -198,7 +198,6 @@ class LabelIndex:
         matched: dict[int, int] = defaultdict(int)
         for t in tokset:
             ids = self.postings.get(t)
-            weight_tok = t
             if ids is None and fuzzy:
                 for ft in self.fuzzy_expand(t, max_edit):
                     fids = self.postings[ft]
@@ -209,7 +208,7 @@ class LabelIndex:
                 continue
             if ids is None:
                 continue
-            w = self.idf[weight_tok]
+            w = self.idf[t]
             for eid in ids:
                 acc[eid] += w
                 matched[eid] += 1
