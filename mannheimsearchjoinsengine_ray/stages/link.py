@@ -149,21 +149,36 @@ def aggregate_edges(edges_ds, left_total_mentions: int,
                       for u in t.column("entity_uri").to_pylist()]
         return t.append_column("entity_group", pa.array(groups, pa.string()))
 
-    from .aggregates import two_phase_agg
+    from .aggregates import dedupe_by_key, two_phase_agg
 
-    agg = two_phase_agg(
-        edges_ds.map_batches(add_group, batch_format="pyarrow"),
-        ["entity_group"], {
-            "count": (None, "count"),
-            "sum_score": ("score", "sum"),
-            "avg_score": ("score", "mean"),
-        })
+    grouped = edges_ds.map_batches(add_group, batch_format="pyarrow").materialize()
+    agg = two_phase_agg(grouped, ["entity_group"], {
+        "count": (None, "count"),
+        "sum_score": ("score", "sum"),
+        "avg_score": ("score", "mean"),
+    })
+    # right cardinality = distinct entities per group (JoinResult's
+    # rightColumnCardinality): distinct via the bucket shuffle, then a tiny
+    # per-group count
+    distinct = dedupe_by_key(
+        grouped.map_batches(
+            lambda df: df[["entity_group", "entity_uri"]].assign(
+                __pair=df["entity_group"] + "\0" + df["entity_uri"]),
+            batch_format="pandas"),
+        "__pair")
+    card = two_phase_agg(distinct, ["entity_group"],
+                         {"right_cardinality": (None, "count")}).to_pandas()
+    card_map = dict(zip(card["entity_group"], card["right_cardinality"]))
 
     def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df["right_cardinality"] = df["entity_group"].map(card_map).fillna(1).astype("int64")
         if ranking == "queryTableCoverage":
             df["total_rank"] = df["count"] * df["avg_score"] / max(1, left_total_mentions)
         elif ranking == "queryEntitySum":
             df["total_rank"] = df["count"] * df["avg_score"]
+        elif ranking == "entityTableCoverage":
+            df["total_rank"] = df["count"] * df["avg_score"] / \
+                df["right_cardinality"].clip(lower=1)
         else:
             df["total_rank"] = df["avg_score"]
         return df

@@ -94,9 +94,20 @@ def test_edge_aggregation(ray_session, index_dir):
     })
     edges = L.link_mentions(rd.from_arrow(mentions), index_dir,
                             PipelineConfig(linker_concurrency=1))
-    agg = L.aggregate_edges(L.top1_links(edges), left_total_mentions=4).to_pandas()
-    assert {"entity_group", "count", "total_rank"} <= set(agg.columns)
+    top1 = L.top1_links(edges)
+    agg = L.aggregate_edges(top1, left_total_mentions=4).to_pandas()
+    assert {"entity_group", "count", "total_rank", "right_cardinality"} <= set(agg.columns)
     assert agg["count"].sum() == 4
+    # every ranking mode produces a finite, sorted total_rank
+    for mode in ["queryTableCoverage", "queryEntitySum", "entityTableCoverage"]:
+        r = L.aggregate_edges(top1, left_total_mentions=4, ranking=mode).to_pandas()
+        assert r["total_rank"].notna().all()
+        assert list(r["total_rank"]) == sorted(r["total_rank"], reverse=True)
+    # entityTableCoverage divides by distinct entities per group
+    etc = L.aggregate_edges(top1, left_total_mentions=4,
+                            ranking="entityTableCoverage").to_pandas()
+    row = etc.iloc[0]
+    assert row["total_rank"] == row["count"] * row["avg_score"] / row["right_cardinality"]
 
 
 class TestConnectedComponents:
