@@ -339,6 +339,14 @@ def resolve_numeric(values: list[float], strategy: NumericResolution) -> float |
     return float(sorted(top.index)[0])
 
 
+def resolve_date(values: list) -> "pd.Timestamp | None":
+    """DuplicateResolver date merge: mean of the epoch seconds (:340-355)."""
+    ts = pd.to_datetime(pd.Series(values), errors="coerce").dropna()
+    if ts.empty:
+        return None
+    return pd.Timestamp(int(ts.astype("int64").mean()))
+
+
 def resolve_components(values_ds, value_type: str = "string",
                        cfg: PipelineConfig = DEFAULT_CONFIG):
     """(component, value) Dataset → (component, canonical_value).  One group
@@ -350,6 +358,8 @@ def resolve_components(values_ds, value_type: str = "string",
         if value_type == "numeric":
             canon = resolve_numeric(list(pd.to_numeric(g["value"], errors="coerce")),
                                     cfg.numeric_resolution)
+        elif value_type == "date":
+            canon = resolve_date(list(g["value"]))
         else:
             canon = resolve_string(list(g["value"].astype(str)), cfg.string_resolution)
         return pd.DataFrame({"component": [comp], "canonical_value": [canon]})

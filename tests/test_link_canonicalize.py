@@ -146,6 +146,13 @@ class TestResolution:
         assert C.resolve_numeric([1, 2, 3], NumericResolution.average) == 2
         assert C.resolve_numeric([5, 5, 7], NumericResolution.voting) == 5
 
+    def test_resolve_date(self):
+        import pandas as _pd
+
+        out = C.resolve_date(["2000-01-01", "2000-01-03"])
+        assert out == _pd.Timestamp("2000-01-02")
+        assert C.resolve_date(["not a date"]) is None
+
     def test_resolve_components_ds(self, ray_session):
         import ray.data as rd
 
