@@ -20,16 +20,21 @@ import os
 import sys
 
 
-def _init_ray(num_cpus: int | None) -> None:
+def _init_ray(num_cpus: int | None) -> bool:
+    """→ True when this call created the session (and so owns shutdown);
+    False when Ray was already initialized by an embedding caller."""
     import ray
 
+    created = False
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus,
                  include_dashboard=False, ignore_reinit_error=True,
                  logging_level="ERROR")
+        created = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return created
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -45,7 +50,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--shards", type=int, default=None)
     args = ap.parse_args(argv)
 
-    _init_ray(args.num_cpus)
+    owns_session = _init_ray(args.num_cpus)
     import ray
 
     try:
@@ -108,7 +113,8 @@ def main(argv: list[str] | None = None) -> int:
             print(hf.sort_values("frequency", ascending=False)
                   .head(20).to_string(index=False))
     finally:
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()
     return 0
 
 

@@ -59,14 +59,22 @@ def guess_type_for_value(
 
 def vote_column_type(values: Iterable[str], header: str | None = None,
                      use_unit: bool = False) -> str:
-    """Majority vote over non-null values with the bool demotion check."""
+    """Majority vote over non-null values with the bool demotion check.
+
+    Distinct values are guessed once (low-cardinality columns — categories,
+    booleans, repeated labels — dominate real web tables); the vote still
+    counts every occurrence, identical to the reference's per-value loop."""
     counts: Counter[str] = Counter()
     non_null: list[str] = []
+    memo: dict[str, str] = {}
     for v in values:
         if v is None or v == "" or v == NULL_VALUE:
             continue
         non_null.append(v)
-        counts[guess_type_for_value(v, header, use_unit)] += 1
+        t = memo.get(v)
+        if t is None:
+            t = memo[v] = guess_type_for_value(v, header, use_unit)
+        counts[t] += 1
     if not counts:
         return "string"
     winner = max(counts, key=lambda t: counts[t])
