@@ -1,0 +1,103 @@
+"""Operator equivalence vs pure-pandas ground truth on randomized inputs —
+the distributed operators must match single-process semantics exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mannheimsearchjoinsengine_ray.stages.aggregates import dedupe_by_key, two_phase_agg
+from mannheimsearchjoinsengine_ray.stages.joins import asof_join, bucket_join
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(123)
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[ns]")
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_bucket_join_matches_pandas(ray_session, rng):
+    import ray.data as rd
+
+    left = pd.DataFrame({
+        "k": rng.integers(0, 50, size=500),
+        "a": rng.standard_normal(500),
+    })
+    right = pd.DataFrame({
+        "rk": rng.integers(0, 60, size=200),
+        "b": rng.integers(0, 1000, size=200),
+    })
+    got = bucket_join(rd.from_pandas(left).repartition(4),
+                      rd.from_pandas(right).repartition(3),
+                      "k", "rk", bucket_count=8).to_pandas()
+    want = left.merge(right, left_on="k", right_on="rk").drop(columns="rk")
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def test_asof_join_matches_pandas(ray_session, rng):
+    import ray.data as rd
+
+    left = pd.DataFrame({
+        "k": rng.integers(0, 10, size=300),
+        "ts": pd.to_datetime(rng.integers(0, 10**6, size=300), unit="s"),
+        "x": np.arange(300),
+    })
+    right = pd.DataFrame({
+        "rk": rng.integers(0, 10, size=80),
+        "rts": pd.to_datetime(rng.integers(0, 10**6, size=80), unit="s"),
+        "y": np.arange(80),
+    }).drop_duplicates(["rk", "rts"])
+    got = asof_join(rd.from_pandas(left).repartition(4),
+                    rd.from_pandas(right).repartition(2),
+                    "k", "rk", "ts", "rts", bucket_count=4).to_pandas()
+    want = pd.merge_asof(
+        left.sort_values(["ts", "k"]),
+        right.rename(columns={"rk": "k"}).sort_values(["rts", "k"]),
+        left_on="ts", right_on="rts", by="k", direction="backward")
+    want = want[want["rts"].notna()]
+    pd.testing.assert_frame_equal(_norm(got), _norm(want), check_dtype=False)
+
+
+def test_two_phase_agg_matches_pandas(ray_session, rng):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "g": rng.integers(0, 25, size=2000).astype(str),
+        "v": rng.standard_normal(2000),
+        "w": rng.integers(0, 100, size=2000),
+    })
+    got = two_phase_agg(rd.from_pandas(df).repartition(6), ["g"], {
+        "s": ("v", "sum"), "mn": ("w", "min"), "mx": ("w", "max"),
+        "avg": ("v", "mean"), "n": (None, "count"),
+    }).to_pandas()
+    want = df.groupby("g").agg(
+        s=("v", "sum"), mn=("w", "min"), mx=("w", "max"),
+        avg=("v", "mean"), n=("v", "size")).reset_index()
+    pd.testing.assert_frame_equal(_norm(got), _norm(want),
+                                  check_dtype=False, atol=1e-9, rtol=0)
+
+
+def test_dedupe_by_key_matches_pandas(ray_session, rng):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "id": rng.integers(0, 100, size=1000).astype(str),
+        "payload": rng.integers(0, 10, size=1000),
+    })
+    # payload must be a function of id for order-independent equality
+    df["payload"] = df["id"].astype(int) % 7
+    got = dedupe_by_key(rd.from_pandas(df).repartition(5), "id").to_pandas()
+    want = df.drop_duplicates("id")
+    assert sorted(got["id"]) == sorted(want["id"])
+    assert dict(zip(got["id"], got["payload"])) == \
+        dict(zip(want["id"], want["payload"]))
