@@ -48,20 +48,38 @@ def test_text_extraction_byte_identical(ray_session, corpus_dir):
 
 
 def test_triples_precision_recall(ray_session, corpus_dir):
+    from mannheimsearchjoinsengine_ray.stages.evaluate import evaluate_triples
+
     got_ds = kg.pages_to_triples(corpus_dir)
-    got = {
-        (r["subj"], r["pred"], r["obj"], r["obj_type"])
-        for r in got_ds.take_all()
-    }
     gold = set()
     for pid in range(N_PAGES):
-        for s, p, o, t, u in P.golden_triples_for_page(P.make_page_spec(pid)):
-            gold.add((s, p, o, t))
-    inter = got & gold
-    precision = len(inter) / max(1, len(got))
-    recall = len(inter) / max(1, len(gold))
-    assert precision >= 0.95, f"precision {precision}"
-    assert recall >= 0.95, f"recall {recall}"
+        for s, p, o, ty, u in P.golden_triples_for_page(P.make_page_spec(pid)):
+            gold.add((s, p, o))
+    res = evaluate_triples(got_ds, gold)
+    assert res.precision >= 0.95, res
+    assert res.recall >= 0.95, res
+    assert res.f1 >= 0.95
+
+
+def test_evaluate_harness_units():
+    import pandas as pd
+
+    from mannheimsearchjoinsengine_ray.stages.evaluate import (
+        evaluate_links,
+        evaluate_sets,
+    )
+
+    r = evaluate_sets({1, 2, 3}, {2, 3, 4}, instances=6)
+    assert r.precision == pytest.approx(2 / 3)
+    assert r.recall == pytest.approx(2 / 3)
+    assert r.coverage == pytest.approx(0.5)
+    got = pd.DataFrame({"url": ["u", "u"], "table_idx": [0, 0],
+                        "row_idx": [0, 1], "entity_uri": ["A", "WRONG"]})
+    gold = pd.DataFrame({"url": ["u", "u", "u"], "table_idx": [0, 0, 0],
+                         "row_idx": [0, 1, 2], "entity_uri": ["A", "B", "C"]})
+    lr = evaluate_links(got, gold)
+    assert lr.n_correct == 1 and lr.n_gold == 3 and lr.n_got == 2
+    assert lr.precision == 0.5 and lr.recall == pytest.approx(1 / 3)
 
 
 def test_materialize_partitions_and_manifests(ray_session, corpus_dir, tmp_path):
