@@ -74,17 +74,27 @@ def simple_string_normalization(value: str, remove_brackets: bool = False) -> st
     strip <tags> → optional (brackets) → empty→"null" → lowercase → trim."""
     try:
         value = unescape_java(value)
-        value = value.replace('"', "")
-        value = value.replace("|", " ")
-        value = value.replace(",", "")
-        value = value.replace("{", "")
-        value = value.replace("}", "")
-        value = value.replace("\n", "")
-        value = value.replace("&nbsp;", " ")
-        value = value.replace("&nbsp", " ")
-        value = value.replace("nbsp", " ")
-        value = _TAG_RE.sub("", value)
-        if remove_brackets:
+        # membership prechecks skip the no-op replaces — str.replace scans
+        # the whole string either way, and most cells contain none of these
+        if '"' in value:
+            value = value.replace('"', "")
+        if "|" in value:
+            value = value.replace("|", " ")
+        if "," in value:
+            value = value.replace(",", "")
+        if "{" in value:
+            value = value.replace("{", "")
+        if "}" in value:
+            value = value.replace("}", "")
+        if "\n" in value:
+            value = value.replace("\n", "")
+        if "nbsp" in value:
+            value = value.replace("&nbsp;", " ")
+            value = value.replace("&nbsp", " ")
+            value = value.replace("nbsp", " ")
+        if "<" in value:
+            value = _TAG_RE.sub("", value)
+        if remove_brackets and "(" in value:
             value = _BRACKET_RE.sub("", value)
         if value == "":
             value = NULL_VALUE
