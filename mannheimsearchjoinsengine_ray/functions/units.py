@@ -149,6 +149,9 @@ def parse_unit(text: str, header_hint: str | None = None) -> ParsedUnit | None:
 
 
 def _parse_unit_text(text: str) -> ParsedUnit | None:
+    # cheap reject before any string copies: a unit value needs a number
+    if _NUMBER_RE.search(text) is None:
+        return None
     negative = False
     if "-" in text:
         text = text.replace("-", " ", 1)
