@@ -209,6 +209,28 @@ def q_events_hourly_window(sf_dir: str):
     return _round_df(out.to_pandas(), {"sum_value": 2})
 
 
+def q_user_sessions(sf_dir: str):
+    """Sessionization (session windows, 30-minute inactivity gap): per-user
+    sorted map_groups computes gap breaks and cumulative session ids — the
+    stream-shaped groupby(key).map_groups pattern from the Ray guide.
+    Session membership is tie-safe (equal timestamps always share a session),
+    so the result matches the SQL gaps-and-islands oracle exactly."""
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts").reset_index(drop=True)
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum().astype("int64") + 1  # SQL SUM(brk) with brk=1 on first row
+        out = g.assign(session_id=sid).groupby("session_id", as_index=False).agg(
+            n_events=("ts", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"))
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+
+
 def q_top_users_by_value(sf_dir: str):
     """Groupby + rank sort + top-k over the stream table (two-phase: the
     high-cardinality user_id shuffle moves partials, not rows)."""
@@ -638,6 +660,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY event_type, date_trunc('hour', ts)
     """,
+    "user_sessions": """
+        WITH marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM marked
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM numbered GROUP BY user_id, session_id
+    """,
     "top_users_by_value": """
         SELECT user_id, ROUND(SUM(value), 2) AS total_value,
                COUNT(*) AS n_events
@@ -722,6 +762,7 @@ QUERIES: dict = {
     "events_hourly_window": q_events_hourly_window,
     "events_last_order": q_events_last_order,
     "top_users_by_value": q_top_users_by_value,
+    "user_sessions": q_user_sessions,
     "orders_by_month": q_orders_by_month,
     "urgent_share_by_status": q_urgent_share_by_status,
     "shipping_priority": q_shipping_priority,

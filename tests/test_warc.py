@@ -1,0 +1,82 @@
+"""WARC source round-trip: pages → WARC file → read_warc → same pipeline."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from mannheimsearchjoinsengine_ray.pipelines import kg
+from mannheimsearchjoinsengine_ray.sources import pages as P
+from mannheimsearchjoinsengine_ray.sources import warc as W
+
+
+@pytest.fixture(scope="module")
+def warc_file(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    specs = [P.make_page_spec(i) for i in range(25)]
+    df = pd.DataFrame({
+        "url": [s.url for s in specs],
+        "warc_ts": pd.to_datetime([s.warc_ts for s in specs], unit="us"),
+        "html": [P.render_html(s) for s in specs],
+    })
+    path = str(d / "segment-00000.warc")
+    n = W.write_warc(df, path)
+    assert n == 25
+    gz = str(d / "segment-00001.warc.gz")
+    W.write_warc(df.iloc[:5], gz, compress=True)
+    return path, gz, specs
+
+
+def test_read_warc_roundtrip(ray_session, warc_file):
+    path, gz, specs = warc_file
+    pages = W.read_warc([path]).to_pandas().sort_values("url").reset_index(drop=True)
+    want = sorted((s.url, P.render_html(s)) for s in specs)
+    assert len(pages) == 25
+    assert list(pages["url"]) == [u for u, _ in want]
+    assert all(bytes(h) == w for h, w in zip(pages["html"], (h for _, h in want)))
+    # timestamps survive (second granularity in WARC-Date)
+    assert pages["warc_ts"].notna().all()
+
+    gz_pages = W.read_warc([gz]).to_pandas()
+    assert len(gz_pages) == 5
+
+
+def test_warc_feeds_pipeline(ray_session, warc_file):
+    """WARC → extract → triples produces the same triples as the parquet path."""
+    path, _, specs = warc_file
+    pages = W.read_warc([path])
+    tables = kg.extract_tables_ds(pages)
+    triples = kg.triples_ds(tables)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in triples.take_all()}
+    gold = set()
+    for s in specs:
+        for su, p, o, t, u in P.golden_triples_for_page(s):
+            gold.add((su, p, o))
+    assert got == gold
+
+
+def test_warc_http_headers_stripped(ray_session, tmp_path):
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x.com/a\r\n"
+        b"WARC-Date: 2020-01-02T03:04:05Z\r\n"
+        b"Content-Length: 79\r\n"
+        b"\r\n"
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+        b"<html><body><p>hi</p></body></html>"
+        b"\r\n\r\n"
+        b"WARC/1.0\r\n"
+        b"WARC-Type: request\r\n"
+        b"WARC-Target-URI: http://x.com/a\r\n"
+        b"Content-Length: 2\r\n"
+        b"\r\n"
+        b"GE"
+        b"\r\n\r\n"
+    )
+    recs = W._parse_warc_bytes(raw)
+    assert len(recs) == 1  # request record skipped
+    url, ts, payload = recs[0]
+    assert url == "http://x.com/a"
+    assert payload == b"<html><body><p>hi</p></body></html>"
+    assert ts.year == 2020 and ts.hour == 3
