@@ -30,9 +30,20 @@ from ..stages.extract import TableExtractor, extract_text_batch
 from ..stages.triples import triples_from_tables_batch
 
 
-def read_pages(path: str, columns: list[str] | None = None):
+def read_pages(path, columns: list[str] | None = None):
+    """Pages source: Parquet fragments or WARC segments (auto-detected by
+    extension — Common Crawl ships .warc.gz; converted corpora ship parquet)."""
     import ray.data as rd
 
+    paths = path if isinstance(path, list) else [path]
+    if any(str(p).endswith((".warc", ".warc.gz")) for p in paths):
+        from ..sources.warc import read_warc
+
+        pages = read_warc(paths)
+        if columns:
+            pages = pages.map_batches(lambda t: t.select(columns),
+                                      batch_format="pyarrow")
+        return pages
     return rd.read_parquet(path, columns=columns)
 
 
@@ -112,7 +123,7 @@ def list_page_fragments(pages_path: str) -> list[str]:
         return [pages_path]
     return sorted(
         os.path.join(pages_path, f) for f in os.listdir(pages_path)
-        if f.endswith(".parquet")
+        if f.endswith((".parquet", ".warc", ".warc.gz"))
     )
 
 

@@ -55,6 +55,34 @@ def test_warc_feeds_pipeline(ray_session, warc_file):
     assert got == gold
 
 
+def test_run_full_over_warc_segments(ray_session, tmp_path):
+    """The resumable pipeline consumes .warc.gz segments directly."""
+    import os
+    import shutil
+
+    wd = str(tmp_path / "segments")
+    os.makedirs(wd)
+    specs = [P.make_page_spec(i) for i in range(30)]
+    for chunk in range(2):
+        sub = specs[chunk * 15:(chunk + 1) * 15]
+        df = pd.DataFrame({
+            "url": [s.url for s in sub],
+            "warc_ts": pd.to_datetime([s.warc_ts for s in sub], unit="us"),
+            "html": [P.render_html(s) for s in sub],
+        })
+        W.write_warc(df, f"{wd}/seg-{chunk:02d}.warc.gz", compress=True)
+    out = str(tmp_path / "out")
+    m = kg.run_full(wd, out, num_shards=2, partitions_per_shard=2)
+    gold = set()
+    for s in specs:
+        for su, p, o, ty, u in P.golden_triples_for_page(s):
+            gold.add((su, p, o))
+    got = {(r["subj"], r["pred"], r["obj"])
+           for r in kg.read_output(out).take_all()}
+    assert got == gold
+    assert m["final_rows"] > 0
+
+
 def test_warc_http_headers_stripped(ray_session, tmp_path):
     raw = (
         b"WARC/1.0\r\n"
