@@ -33,8 +33,9 @@ PAGES_SCHEMA = pa.schema([
 ])
 
 
-def _parse_warc_bytes(data: bytes) -> list[tuple[str, datetime, bytes]]:
-    """→ [(url, ts, html_payload)] for every response record."""
+def _parse_warc_bytes(data: bytes, record_type: str = "response"
+                      ) -> list[tuple[str, datetime, bytes]]:
+    """→ [(url, ts, payload)] for every record of ``record_type``."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
     out: list[tuple[str, datetime, bytes]] = []
@@ -64,7 +65,7 @@ def _parse_warc_bytes(data: bytes) -> list[tuple[str, datetime, bytes]]:
         while data[pos:pos + 2] == b"\r\n":
             pos += 2
 
-        if headers.get("warc-type") != "response":
+        if headers.get("warc-type") != record_type:
             continue
         url = headers.get("warc-target-uri", "")
         ts_raw = headers.get("warc-date", "1970-01-01T00:00:00Z")
@@ -82,29 +83,43 @@ def _parse_warc_bytes(data: bytes) -> list[tuple[str, datetime, bytes]]:
     return out
 
 
-def read_warc(paths: list[str] | str):
-    """.warc/.warc.gz files → pages Dataset (url, warc_ts, html, text, lang)."""
+def read_warc(paths: list[str] | str, record_type: str = "response"):
+    """.warc/.warc.gz files → pages Dataset (url, warc_ts, html, text, lang).
+
+    ``record_type='response'`` reads raw-HTML records (WARC);
+    ``record_type='conversion'`` reads WET text records — the payload lands in
+    the ``text`` column (html empty), matching Common Crawl's WET layout."""
     import numpy as np
     import ray.data as rd
 
+    as_text = record_type == "conversion"
+
     def parse(batch: dict) -> pa.Table:
-        urls, tss, htmls = [], [], []
+        urls, tss, payloads = [], [], []
         for data in batch["bytes"]:
-            for url, ts, payload in _parse_warc_bytes(bytes(data)):
+            for url, ts, payload in _parse_warc_bytes(bytes(data),
+                                                      record_type=record_type):
                 urls.append(url)
                 tss.append(ts)
-                htmls.append(payload)
+                payloads.append(payload)
+        n = len(urls)
         return pa.Table.from_pydict({
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(np.array(tss, dtype="datetime64[us]")
                                 if tss else [], pa.timestamp("us")),
-            "html": pa.array(htmls, pa.binary()),
-            "text": pa.array([""] * len(urls), pa.string()),
-            "lang": pa.array([""] * len(urls), pa.string()),
+            "html": pa.array([b""] * n if as_text else payloads, pa.binary()),
+            "text": pa.array([p.decode("utf-8", "replace") for p in payloads]
+                             if as_text else [""] * n, pa.string()),
+            "lang": pa.array([""] * n, pa.string()),
         }, schema=PAGES_SCHEMA)
 
     ds = rd.read_binary_files(paths, include_paths=True)
     return ds.map_batches(parse, batch_format="numpy")
+
+
+def read_wet(paths: list[str] | str):
+    """Common Crawl WET files → pages Dataset with pre-extracted ``text``."""
+    return read_warc(paths, record_type="conversion")
 
 
 def write_warc(pages_df, path: str, compress: bool = False) -> int:

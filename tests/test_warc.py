@@ -108,3 +108,24 @@ def test_warc_http_headers_stripped(ray_session, tmp_path):
     assert url == "http://x.com/a"
     assert payload == b"<html><body><p>hi</p></body></html>"
     assert ts.year == 2020 and ts.hour == 3
+
+
+def test_read_wet(ray_session, tmp_path):
+    raw = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://x.com/a\r\n"
+        b"WARC-Date: 2021-06-01T00:00:00Z\r\n"
+        b"Content-Length: 17\r\n"
+        b"\r\n"
+        b"plain text body\r\n"
+        b"\r\n\r\n"
+    )
+    p = str(tmp_path / "f.warc")
+    open(p, "wb").write(raw)
+    df = W.read_wet([p]).to_pandas()
+    assert len(df) == 1
+    assert df.iloc[0]["text"].startswith("plain text body")
+    assert bytes(df.iloc[0]["html"]) == b""
+    # response reader skips conversion records
+    assert len(W.read_warc([p]).to_pandas()) == 0
