@@ -670,8 +670,8 @@ ORACLE_SQL: dict[str, str] = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ), numbered AS (
             SELECT user_id, ts,
-                   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM marked
         )
         SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -688,8 +688,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "urgent_share_by_status": """
         SELECT o_orderstatus,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS n_urgent,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
                COUNT(*) AS n_total,
                ROUND(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                               THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS urgent_share
