@@ -568,6 +568,69 @@ def q_kg_fused_table(sf_dir: str):
     return fuse_edges_with_triples(edges, tr)
 
 
+def q_kg_refine_link(sf_dir: str):
+    """Refine-attributes context linking (ScoreEvaluator.assessIndexEntry
+    refine term, SJ/scoring/ScoreEvaluator.java:24-33 +
+    IndexManager.findRefineAttrsMatches :677-746): an ambiguous gazetteer
+    (twin entities sharing a label, differing sibling attributes) is linked
+    from mentions that carry row context — the context term decides the twin.
+    Rows-only oracle; tests pin accuracy 1.0 with context."""
+    import os as _os
+
+    import ray.data as rd
+
+    from ..functions.normalize import capitalize_words
+    from ..sources.pages import NS, entity_attrs, entity_label, make_gazetteer
+    from ..stages.link import link_mentions, top1_links
+    from ..state.index import build_index
+
+    n = 30
+    index_dir = f"/tmp/graft_refine_index_{n}"
+    marker = index_dir + ".complete"
+    if not _os.path.exists(marker):
+        import shutil as _shutil
+
+        _shutil.rmtree(index_dir, ignore_errors=True)
+        gaz = rd.from_arrow(pa.table(make_gazetteer(n, ambiguous_pairs=n)))
+        build_index(gaz, index_dir, num_shards=4)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    rows = {"url": [], "table_idx": [], "row_idx": [], "mention": [],
+            "context": [], "expected_uri": []}
+    for eid in range(n):
+        label = entity_label(eid)
+        base_uri = NS + capitalize_words(label).replace(" ", "")
+        for variant, (ctx, exp) in enumerate([
+                (entity_attrs(eid), base_uri),            # original's row
+                (entity_attrs(eid + 7), base_uri + "Alt")  # twin's row
+        ]):
+            rows["url"].append("fixture")
+            rows["table_idx"].append(0)
+            rows["row_idx"].append(eid * 2 + variant)
+            rows["mention"].append(label)
+            rows["context"].append(ctx)
+            rows["expected_uri"].append(exp)
+    mentions = pa.table({
+        "url": pa.array(rows["url"], pa.string()),
+        "table_idx": pa.array(rows["table_idx"], pa.int32()),
+        "row_idx": pa.array(rows["row_idx"], pa.int32()),
+        "mention": pa.array(rows["mention"], pa.string()),
+        "context": pa.array(rows["context"], pa.list_(pa.string())),
+    })
+    from ..config import PipelineConfig
+
+    cfg = PipelineConfig(linker_concurrency=1)
+    top1 = top1_links(link_mentions(rd.from_arrow(mentions), index_dir,
+                                    cfg)).to_pandas()
+    exp = pd.DataFrame({"row_idx": rows["row_idx"],
+                        "expected_uri": rows["expected_uri"]})
+    out = top1.merge(exp, on="row_idx")
+    out["correct"] = out["entity_uri"] == out["expected_uri"]
+    return out[["row_idx", "mention", "expected_uri", "entity_uri",
+                "correct"]].sort_values("row_idx").reset_index(drop=True)
+
+
 def q_kg_values_per_subject(sf_dir: str):
     """Distribution of values per key (DistributionOfValuesPerKey analog)
     over the KG triples.  Rows-only oracle."""
@@ -784,6 +847,7 @@ QUERIES: dict = {
     "multimodal_decode": q_multimodal_decode,
     "value_histogram": q_value_histogram,
     "kg_fused_table": q_kg_fused_table,
+    "kg_refine_link": q_kg_refine_link,
     "kg_values_per_subject": q_kg_values_per_subject,
     "kg_header_frequencies": q_kg_header_frequencies,
     "kg_link_columns": q_kg_link_columns,

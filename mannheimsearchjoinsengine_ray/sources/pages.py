@@ -84,9 +84,31 @@ def entity_type(eid: int) -> str:
     return _TAIL_TYPES[eid % len(_TAIL_TYPES)]
 
 
-def make_gazetteer(num_entities: int) -> dict:
-    """Columns: entity_uri, label, aliases(list<str>), entity_type."""
-    uris, labels, aliases, types = [], [], [], []
+_ATTR_REGIONS = ["north region", "south region", "east region", "west region",
+                 "central region", "coastal region"]
+_ATTR_COLORS = ["red", "blue", "green", "silver", "golden", "white"]
+
+
+def entity_attrs(eid: int) -> list[str]:
+    """Deterministic sibling-attribute values for an entity (the entity-table
+    row context the reference's refine-attrs search matches against,
+    IndexManager.findRefineAttrsMatches, SJ/index/IndexManager.java:677-746)."""
+    return [
+        _ATTR_REGIONS[eid % len(_ATTR_REGIONS)],
+        _ATTR_COLORS[(eid // len(_ATTR_REGIONS)) % len(_ATTR_COLORS)],
+        f"founded {1900 + eid % 100}",
+    ]
+
+
+def make_gazetteer(num_entities: int, ambiguous_pairs: int = 0) -> dict:
+    """Columns: entity_uri, label, aliases(list<str>), entity_type,
+    attrs(list<str>).
+
+    ``ambiguous_pairs > 0`` appends one twin per entity 0..n-1 sharing the
+    SAME label but DIFFERENT attrs (uri suffix ``Alt``) — the fixture for
+    refine-attrs context scoring: without row context the twins tie on label
+    evidence; with context the attribute overlap decides."""
+    uris, labels, aliases, types, attrs = [], [], [], [], []
     for eid in range(num_entities):
         label = entity_label(eid)
         uris.append(NS + capitalize_words(label).replace(" ", ""))
@@ -96,8 +118,17 @@ def make_gazetteer(num_entities: int) -> dict:
             als.append(label[:-1])  # edit distance 1
         aliases.append(als)
         types.append(entity_type(eid))
+        attrs.append(entity_attrs(eid))
+    for eid in range(min(ambiguous_pairs, num_entities)):
+        label = entity_label(eid)
+        uris.append(NS + capitalize_words(label).replace(" ", "") + "Alt")
+        labels.append(label)
+        aliases.append([label.upper()])
+        types.append(entity_type(eid))
+        # offset picks a disjoint (region, color) combination for the twin
+        attrs.append(entity_attrs(eid + 7))
     return {"entity_uri": uris, "label": labels, "aliases": aliases,
-            "entity_type": types}
+            "entity_type": types, "attrs": attrs}
 
 
 # ---------------------------------------------------------------------------

@@ -34,15 +34,30 @@ EDGE_SCHEMA = pa.schema([
 ])
 
 
+MENTION_SCHEMA = pa.schema([
+    ("url", pa.string()), ("table_idx", pa.int32()),
+    ("row_idx", pa.int32()), ("mention", pa.string()),
+    ("context", pa.list_(pa.string()))])
+
+_MAX_CONTEXT_CELLS = 8
+
+
 def mentions_from_tables_batch(batch: pa.Table) -> pa.Table:
-    """Table records (stages.extract) → one mention per key cell."""
+    """Table records (stages.extract) → one mention per key cell, carrying the
+    row's sibling cells as ``context`` (the refine attributes the reference
+    searches per candidate, SearchJoin.java key handling +
+    IndexManager.findRefineAttrsMatches :677-746)."""
     urls = batch.column("url").to_pylist()
     tids = batch.column("table_idx").to_pylist()
     key_idx = batch.column("key_idx").to_pylist()
     has_key = batch.column("has_key").to_pylist()
     raw_keys = batch.column("raw_keys").to_pylist()
-    out = {"url": [], "table_idx": [], "row_idx": [], "mention": []}
-    for url, ti, ki, hk, keys in zip(urls, tids, key_idx, has_key, raw_keys):
+    rows_col = batch.column("rows").to_pylist() \
+        if "rows" in batch.column_names else [None] * len(urls)
+    out = {"url": [], "table_idx": [], "row_idx": [], "mention": [],
+           "context": []}
+    for url, ti, ki, hk, keys, rows in zip(urls, tids, key_idx, has_key,
+                                           raw_keys, rows_col):
         if not hk or ki < 0:
             continue
         for ri, k in enumerate(keys):
@@ -51,9 +66,16 @@ def mentions_from_tables_batch(batch: pa.Table) -> pa.Table:
                 out["table_idx"].append(ti)
                 out["row_idx"].append(ri)
                 out["mention"].append(k)
-    return pa.Table.from_pydict(out, schema=pa.schema([
-        ("url", pa.string()), ("table_idx", pa.int32()),
-        ("row_idx", pa.int32()), ("mention", pa.string())]))
+                ctx: list[str] = []
+                if rows is not None and ri < len(rows):
+                    for ci, cell in enumerate(rows[ri]):
+                        if ci == ki or not cell or cell == "null":
+                            continue
+                        ctx.append(cell)
+                        if len(ctx) >= _MAX_CONTEXT_CELLS:
+                            break
+                out["context"].append(ctx)
+    return pa.Table.from_pydict(out, schema=MENTION_SCHEMA)
 
 
 class LinkerActor:
@@ -66,12 +88,17 @@ class LinkerActor:
     stage."""
 
     def __init__(self, index_dir: str, top_k: int = 5,
-                 max_edit: int = 1, fuzzy: bool = True):
+                 max_edit: int = 1, fuzzy: bool = True,
+                 refine_factor: float = 0.0):
         self.index = LabelIndex(index_dir)
         self.top_k = top_k
         self.max_edit = max_edit
         self.fuzzy = fuzzy
-        self._cache: dict[str, list[tuple[str, float, str]]] = {}
+        self.refine_factor = refine_factor
+        # caches the context-INDEPENDENT candidate scan (index postings walk);
+        # the cheap context re-score runs per row so repeated head mentions
+        # still short-circuit the expensive part
+        self._cache: dict[str, list[tuple[int, float]]] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {n: [] for n in EDGE_SCHEMA.names}
@@ -79,13 +106,17 @@ class LinkerActor:
         tids = batch.column("table_idx").to_pylist()
         rids = batch.column("row_idx").to_pylist()
         mentions = batch.column("mention").to_pylist()
-        for url, ti, ri, m in zip(urls, tids, rids, mentions):
-            hits = self._cache.get(m)
-            if hits is None:
-                hits = self.index.search(m, top_k=self.top_k,
-                                         fuzzy=self.fuzzy, max_edit=self.max_edit)
+        contexts = batch.column("context").to_pylist() \
+            if "context" in batch.column_names else [None] * len(mentions)
+        for url, ti, ri, m, ctx in zip(urls, tids, rids, mentions, contexts):
+            scored = self._cache.get(m)
+            if scored is None:
+                scored = self.index.search_scored(m, fuzzy=self.fuzzy,
+                                                  max_edit=self.max_edit)
                 if len(self._cache) < 200_000:
-                    self._cache[m] = hits
+                    self._cache[m] = scored
+            hits = self.index.finalize(scored, self.top_k, context=ctx,
+                                       refine_factor=self.refine_factor)
             for rank, (uri, score, name, etype) in enumerate(hits):
                 out["url"].append(url)
                 out["table_idx"].append(ti)
@@ -105,7 +136,8 @@ def link_mentions(mentions_ds, index_dir: str,
     return mentions_ds.map_batches(
         LinkerActor,
         fn_constructor_kwargs={"index_dir": index_dir, "top_k": top_k,
-                               "max_edit": cfg.max_edit_distance},
+                               "max_edit": cfg.max_edit_distance,
+                               "refine_factor": cfg.refine_attrs_factor},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=cfg.linker_concurrency,

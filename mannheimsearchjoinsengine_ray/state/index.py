@@ -43,20 +43,31 @@ POSTING_SCHEMA = pa.schema([
     ("n_tokens", pa.int32()),
     ("is_primary", pa.bool_()),
     ("entity_type", pa.string()),
+    ("attrs_norm", pa.string()),   # '\x1f'-joined normalized sibling attrs
 ])
+
+_ATTR_SEP = "\x1f"
 
 
 def postings_from_entities_batch(batch: pa.Table) -> pa.Table:
-    """entities(entity_uri, label, aliases) → posting rows (one per token per
-    name variant)."""
+    """entities(entity_uri, label, aliases[, entity_type, attrs]) → posting
+    rows (one per token per name variant).  ``attrs`` (list<str>) are the
+    entity's sibling-attribute values — indexed alongside every posting so the
+    serving structure can score row context (refine-attrs,
+    IndexManager.java:677-746) without a second lookup."""
     uris = batch.column("entity_uri").to_pylist()
     labels = batch.column("label").to_pylist()
     aliases = batch.column("aliases").to_pylist() if "aliases" in batch.column_names \
         else [[] for _ in uris]
     types = batch.column("entity_type").to_pylist() \
         if "entity_type" in batch.column_names else [""] * len(uris)
+    attrs = batch.column("attrs").to_pylist() \
+        if "attrs" in batch.column_names else [[] for _ in uris]
     cols = {n: [] for n in POSTING_SCHEMA.names}
-    for uri, label, als, etype in zip(uris, labels, aliases, types):
+    for uri, label, als, etype, ats in zip(uris, labels, aliases, types, attrs):
+        attrs_norm = _ATTR_SEP.join(
+            " ".join(tokenize_string(a, remove_brackets=True))
+            for a in (ats or []) if a)
         names = [(label, True)] + [(a, False) for a in (als or [])]
         seen_norms = set()
         for name, primary in names:
@@ -72,6 +83,7 @@ def postings_from_entities_batch(batch: pa.Table) -> pa.Table:
                 cols["n_tokens"].append(len(toks))
                 cols["is_primary"].append(primary)
                 cols["entity_type"].append(etype)
+                cols["attrs_norm"].append(attrs_norm)
     return pa.Table.from_pydict(cols, schema=POSTING_SCHEMA)
 
 
@@ -123,6 +135,9 @@ class LabelIndex:
         self.entries_ntok: list[int] = []
         self.entries_primary: list[bool] = []
         self.entries_type: list[str] = []
+        # per entry: tuple of frozenset token sets, one per sibling attribute
+        # (refine-attrs context, IndexManager.java:677-746)
+        self.entries_attrs: list[tuple[frozenset, ...]] = []
         entry_ids: dict[tuple[str, str], int] = {}
 
         for f in files:
@@ -130,10 +145,12 @@ class LabelIndex:
             has_type = "entity_type" in t.column_names
             type_col = t.column("entity_type").to_pylist() if has_type \
                 else [""] * t.num_rows
-            for tok, uri, norm, ntok, prim, etype in zip(
+            attrs_col = t.column("attrs_norm").to_pylist() \
+                if "attrs_norm" in t.column_names else [""] * t.num_rows
+            for tok, uri, norm, ntok, prim, etype, anorm in zip(
                 t.column("token").to_pylist(), t.column("entity_uri").to_pylist(),
                 t.column("name_norm").to_pylist(), t.column("n_tokens").to_pylist(),
-                t.column("is_primary").to_pylist(), type_col,
+                t.column("is_primary").to_pylist(), type_col, attrs_col,
             ):
                 key = (uri, norm)
                 eid = entry_ids.get(key)
@@ -145,6 +162,9 @@ class LabelIndex:
                     self.entries_ntok.append(ntok)
                     self.entries_primary.append(prim)
                     self.entries_type.append(etype)
+                    self.entries_attrs.append(tuple(
+                        frozenset(a.split()) for a in anorm.split(_ATTR_SEP)
+                        if a) if anorm else ())
                 tok_uris[tok].append(eid)
 
         self.postings: dict[str, np.ndarray] = {
@@ -180,14 +200,16 @@ class LabelIndex:
         except ValueError:
             return ""
 
-    def search(self, mention: str, top_k: int = 10, fuzzy: bool = True,
-               max_edit: int = 1) -> list[tuple[str, float, str, str]]:
-        """→ [(entity_uri, score, matched_name_norm, entity_type)] by score desc.
+    def search_scored(self, mention: str, fuzzy: bool = True,
+                      max_edit: int = 1) -> list[tuple[int, float]]:
+        """Context-independent candidate scan → [(entry_id, base_score)].
 
         Scoring: sum of idf over matched tokens, normalized by the larger of
         the mention/name token counts (OR-query TF-IDF), then blended 50/50
         with token-set Jaccard; exact normalized match pins to the top
-        (exact-mode post-filter analog, IndexManager.java:409-436)."""
+        (exact-mode post-filter analog, IndexManager.java:409-436).  The
+        result is cacheable per mention — context re-scoring happens in
+        ``finalize``."""
         toks = tokenize_string(mention, remove_brackets=True)
         if not toks:
             return []
@@ -195,7 +217,6 @@ class LabelIndex:
         tokset = set(toks)
 
         acc: dict[int, float] = defaultdict(float)
-        matched: dict[int, int] = defaultdict(int)
         for t in tokset:
             ids = self.postings.get(t)
             if ids is None and fuzzy:
@@ -204,16 +225,14 @@ class LabelIndex:
                     w = self.idf[ft] * 0.5  # fuzzy matches at half weight
                     for eid in fids:
                         acc[eid] += w
-                        matched[eid] += 1
                 continue
             if ids is None:
                 continue
             w = self.idf[t]
             for eid in ids:
                 acc[eid] += w
-                matched[eid] += 1
 
-        results: list[tuple[str, float, str, str]] = []
+        results: list[tuple[int, float]] = []
         for eid, s in acc.items():
             name = self.entries_norm[eid]
             denom = max(len(tokset), int(self.entries_ntok[eid]))
@@ -222,13 +241,53 @@ class LabelIndex:
             score = 0.5 * tfidf + 0.5 * jac
             if name == norm:
                 score += 10.0  # exact normalized match dominates
-            results.append((self.entries_uri[eid], score, name,
-                            self.entries_type[eid]))
-        results.sort(key=lambda r: (-r[1], r[0]))
+            results.append((eid, score))
+        return results
+
+    def context_bonus(self, eid: int, context_toksets: list[set[str]],
+                      refine_factor: float) -> float:
+        """Refine-attrs term (ScoreEvaluator.assessIndexEntry,
+        SJ/scoring/ScoreEvaluator.java:24-33): for each sibling cell of the
+        query row, the best token-Jaccard against the entity's own attribute
+        values counts as a refine hit when >= 0.5 (the cell value 'appears in
+        that entity's row'); hit scores sum, weighted by refineAttrsFactor."""
+        attrs = self.entries_attrs[eid]
+        if not attrs or not context_toksets:
+            return 0.0
+        bonus = 0.0
+        for ctoks in context_toksets:
+            if not ctoks:
+                continue
+            best = 0.0
+            for atoks in attrs:
+                j = jaccard(ctoks, atoks)
+                if j > best:
+                    best = j
+            if best >= 0.5:
+                bonus += best
+        return refine_factor * bonus
+
+    def finalize(self, scored: list[tuple[int, float]], top_k: int,
+                 context: list[str] | None = None,
+                 refine_factor: float = 0.0
+                 ) -> list[tuple[str, float, str, str]]:
+        """(entry_id, base) candidates → deduped top-k
+        [(entity_uri, score, matched_name_norm, entity_type)] with the
+        refine-attrs context term blended in."""
+        if context and refine_factor > 0.0:
+            ctoksets = [set(tokenize_string(c, remove_brackets=True))
+                        for c in context if c and c != "null"]
+            results = [(eid, s + self.context_bonus(eid, ctoksets, refine_factor))
+                       for eid, s in scored]
+        else:
+            results = scored
+        rows = [(self.entries_uri[eid], score, self.entries_norm[eid],
+                 self.entries_type[eid]) for eid, score in results]
+        rows.sort(key=lambda r: (-r[1], r[0]))
         # dedup per entity uri keeping best name (per-(value,table) dedup analog)
         seen: set[str] = set()
         out = []
-        for uri, score, name, etype in results:
+        for uri, score, name, etype in rows:
             if uri in seen:
                 continue
             seen.add(uri)
@@ -236,6 +295,16 @@ class LabelIndex:
             if len(out) >= top_k:
                 break
         return out
+
+    def search(self, mention: str, top_k: int = 10, fuzzy: bool = True,
+               max_edit: int = 1, context: list[str] | None = None,
+               refine_factor: float = 0.0
+               ) -> list[tuple[str, float, str, str]]:
+        """→ [(entity_uri, score, matched_name_norm, entity_type)] by score
+        desc; ``context`` (sibling cells of the mention's row) adds the
+        refine-attrs term per assessIndexEntry."""
+        return self.finalize(self.search_scored(mention, fuzzy, max_edit),
+                             top_k, context, refine_factor)
 
 
 def clear_mention(mention: str) -> str:

@@ -84,6 +84,98 @@ def test_linking_top1_accuracy(ray_session, index_dir, tmp_path):
     assert acc >= 0.95, f"top-1 accuracy {acc}"
 
 
+class TestRefineAttrs:
+    """Refine-attributes context scoring (ScoreEvaluator.assessIndexEntry
+    refine term + IndexManager.findRefineAttrsMatches): twin entities share a
+    label; only the row context decides which twin wins top-1."""
+
+    N = 12
+
+    @pytest.fixture(scope="class")
+    def amb_index_dir(self, ray_session, tmp_path_factory):
+        import ray.data as rd
+
+        d = str(tmp_path_factory.mktemp("amb_index"))
+        gaz = rd.from_arrow(pa.table(P.make_gazetteer(self.N, ambiguous_pairs=self.N)))
+        assert IX.build_index(gaz, d, num_shards=2) > 0
+        return d
+
+    def test_context_disambiguates(self, amb_index_dir):
+        idx = IX.LabelIndex(amb_index_dir)
+        correct_with_ctx = 0
+        twin_wins_without_ctx = 0
+        for eid in range(self.N):
+            label = P.entity_label(eid)
+            base_uri = P.NS + "".join(w.capitalize() for w in label.split())
+            twin_uri = base_uri + "Alt"
+            # no context: tie broken lexicographically → base uri
+            plain = idx.search(label)
+            assert plain[0][0] == base_uri
+            if any(u == twin_uri for u, *_ in plain[:1]):
+                twin_wins_without_ctx += 1
+            # original's row context → original; twin's row context → twin
+            got_base = idx.search(label, context=P.entity_attrs(eid),
+                                  refine_factor=0.3)[0][0]
+            got_twin = idx.search(label, context=P.entity_attrs(eid + 7),
+                                  refine_factor=0.3)[0][0]
+            if got_base == base_uri and got_twin == twin_uri:
+                correct_with_ctx += 1
+        assert twin_wins_without_ctx == 0  # context is REQUIRED for the twin
+        assert correct_with_ctx == self.N
+
+    def test_factor_zero_ignores_context(self, amb_index_dir):
+        idx = IX.LabelIndex(amb_index_dir)
+        label = P.entity_label(0)
+        base_uri = P.NS + "".join(w.capitalize() for w in label.split())
+        got = idx.search(label, context=P.entity_attrs(7), refine_factor=0.0)
+        assert got[0][0] == base_uri
+
+    def test_through_actor_pool(self, ray_session, amb_index_dir):
+        """The full linker path: mention batches WITH context columns."""
+        import ray.data as rd
+
+        rows = {"url": [], "table_idx": [], "row_idx": [], "mention": [],
+                "context": []}
+        expected = []
+        for eid in range(self.N):
+            label = P.entity_label(eid)
+            base_uri = P.NS + "".join(w.capitalize() for w in label.split())
+            rows["url"] += ["u", "u"]
+            rows["table_idx"] += [0, 0]
+            rows["row_idx"] += [2 * eid, 2 * eid + 1]
+            rows["mention"] += [label, label]
+            rows["context"] += [P.entity_attrs(eid), P.entity_attrs(eid + 7)]
+            expected += [base_uri, base_uri + "Alt"]
+        mentions = pa.table({
+            "url": pa.array(rows["url"]),
+            "table_idx": pa.array(rows["table_idx"], pa.int32()),
+            "row_idx": pa.array(rows["row_idx"], pa.int32()),
+            "mention": pa.array(rows["mention"]),
+            "context": pa.array(rows["context"], pa.list_(pa.string())),
+        })
+        cfg = PipelineConfig(linker_concurrency=1)
+        top1 = L.top1_links(L.link_mentions(rd.from_arrow(mentions),
+                                            amb_index_dir, cfg)).to_pandas()
+        got = top1.sort_values("row_idx")["entity_uri"].tolist()
+        assert got == expected
+
+    def test_mentions_carry_context(self, ray_session, tmp_path):
+        """mentions_from_tables_batch emits the sibling cells of each row."""
+        tables = pa.table({
+            "url": ["u"], "table_idx": pa.array([0], pa.int32()),
+            "n_rows": pa.array([1], pa.int32()),
+            "headers": [["name", "region", "color"]],
+            "col_types": [["string", "string", "string"]],
+            "key_idx": pa.array([0], pa.int32()), "has_key": [True],
+            "rows": [[["golden river", "north region", "null"]]],
+            "raw_keys": [["Golden River"]],
+        })
+        out = L.mentions_from_tables_batch(tables)
+        assert out.num_rows == 1
+        ctx = out.column("context").to_pylist()[0]
+        assert ctx == ["north region"]  # null cells dropped, key excluded
+
+
 def test_edge_aggregation(ray_session, index_dir):
     import ray.data as rd
 
