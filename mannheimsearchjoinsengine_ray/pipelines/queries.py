@@ -562,8 +562,10 @@ def q_kg_fused_table(sf_dir: str):
     tables = extract_tables_ds(pages).materialize()
     mentions = tables.map_batches(mentions_from_tables_batch, batch_format="pyarrow")
     edges = top1_links(link_mentions(mentions, index_dir)).to_pandas()
-    # bound the fused view: top 200 mentions (maxMatchedTables analog)
-    edges = edges.drop_duplicates("mention").head(200)
+    # bound the fused view: 200 mentions (maxMatchedTables analog); sorted
+    # first so the selection is deterministic across actor-pool output orders
+    edges = edges.sort_values(["mention", "url", "table_idx", "row_idx"]) \
+        .drop_duplicates("mention").head(200)
     tr = triples_ds(tables)
     return fuse_edges_with_triples(edges, tr)
 

@@ -6,11 +6,14 @@ Re-expresses DataFuser.fuseCompleteTableFast / addValuesToColumn
 columns; at scale the fused view stays a LONG (query_key, pred, obj) table
 and pivots only for small exports):
 
-  * link edges (mention → entity_uri) are the small side → broadcast;
-  * triples are filtered to matched subjects (broadcast semi-join) and tagged
-    with the mention that matched them;
-  * optional header filter = allowed predicate set, exact or normalized
-    (DataFuser.java:497-506), applied as a vectorized filter;
+  * the predicate (header) filter is applied to the TRIPLES before any join
+    (DataFuser.java:497-506) — pruning the big side first;
+  * SMALL edge sets (bounded by top-k caps) broadcast once via ``ray.put``
+    and fuse with a vectorized pandas merge per triple batch;
+  * LARGE edge sets go through ``bucket_join`` (one union + one groupby
+    shuffle co-partitioned on the subject hash) — edges scale with mention
+    count (~one per table row), so the broadcast path is gated by an
+    explicit row-count guard, not assumed;
   * ``pivot_fused`` builds the reference-shaped wide table for small results,
     column key = ``pred|source_url`` (the header|tablePath analog), cells
     resolved by first-wins like TableColumn.addNewValue.
@@ -32,53 +35,88 @@ FUSED_SCHEMA = pa.schema([
     ("source_url", pa.string()),
 ])
 
+_FUSED_COLS = list(FUSED_SCHEMA.names)
 
-def fuse_edges_with_triples(edges_ds, triples_ds,
+# edges up to this many rows ship once per worker via ray.put; beyond it the
+# co-partitioned shuffle join runs (the guard is what makes the broadcast
+# path safe — top-k-capped link results are bounded, raw edges are not)
+BROADCAST_EDGE_LIMIT = 200_000
+
+
+def _filter_triples_by_header(triples_ds, header_filter, exact_headers: bool):
+    allowed = set(header_filter) if exact_headers else {
+        clear_string(h, True) for h in header_filter}
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        header = df["pred"].str.rsplit("/", n=1).str[-1]
+        key = header if exact_headers else header.map(
+            lambda h: clear_string(h, True))
+        return df[key.isin(allowed)]
+
+    return triples_ds.map_batches(filt, batch_format="pandas")
+
+
+def fuse_edges_with_triples(edges, triples_ds,
                             header_filter: list[str] | None = None,
-                            exact_headers: bool = False):
+                            exact_headers: bool = False,
+                            broadcast_limit: int = BROADCAST_EDGE_LIMIT,
+                            bucket_count: int = 32):
     """Long fused view: one row per (matched mention × entity triple).
 
-    edges: (mention, entity_uri, ...) — top-1 link edges, the SMALL side.
-    triples: (subj, pred, obj, obj_type, source_url).
+    edges: (mention, entity_uri, ...) link edges — pandas DataFrame or
+    Dataset.  triples: (subj, pred, obj, obj_type, source_url).
     """
     import ray
+    import ray.data as rd
 
-    edges_df = edges_ds.to_pandas() if hasattr(edges_ds, "to_pandas") else edges_ds
-    uri_to_mentions: dict[str, list[str]] = {}
-    for m, u in zip(edges_df["mention"], edges_df["entity_uri"]):
-        uri_to_mentions.setdefault(u, []).append(m)
-    allowed = None
     if header_filter:
-        allowed = set(header_filter) if exact_headers else {
-            clear_string(h, True) for h in header_filter}
-    lookup_ref = ray.put((uri_to_mentions, allowed, exact_headers))
+        triples_ds = _filter_triples_by_header(triples_ds, header_filter,
+                                               exact_headers)
 
-    def fuse(batch: pa.Table) -> pa.Table:
-        uri_map, allow, exact = ray.get(lookup_ref)
-        out = {n: [] for n in FUSED_SCHEMA.names}
-        for subj, pred, obj, ot, src in zip(
-            batch.column("subj").to_pylist(), batch.column("pred").to_pylist(),
-            batch.column("obj").to_pylist(), batch.column("obj_type").to_pylist(),
-            batch.column("source_url").to_pylist(),
-        ):
-            mentions = uri_map.get(subj)
-            if not mentions:
-                continue
-            if allow is not None:
-                header = pred.rsplit("/", 1)[-1]
-                key = header if exact else clear_string(header, True)
-                if key not in allow:
-                    continue
-            for m in mentions:
-                out["query_key"].append(m)
-                out["entity_uri"].append(subj)
-                out["pred"].append(pred)
-                out["obj"].append(obj)
-                out["obj_type"].append(ot)
-                out["source_url"].append(src)
-        return pa.Table.from_pydict(out, schema=FUSED_SCHEMA)
+    is_df = isinstance(edges, pd.DataFrame)
+    n_edges = len(edges) if is_df else edges.count()
 
-    return triples_ds.map_batches(fuse, batch_format="pyarrow")
+    if n_edges <= broadcast_limit:
+        edges_df = edges[["mention", "entity_uri"]].copy() if is_df else \
+            edges.select_columns(["mention", "entity_uri"]).to_pandas()
+        edges_ref = ray.put(edges_df)
+
+        def fuse(df: pd.DataFrame) -> pd.DataFrame:
+            e = ray.get(edges_ref)
+            m = df.merge(e, left_on="subj", right_on="entity_uri")
+            return pd.DataFrame({
+                "query_key": m["mention"].astype(str),
+                "entity_uri": m["subj"].astype(str),
+                "pred": m["pred"].astype(str),
+                "obj": m["obj"].astype(str),
+                "obj_type": m["obj_type"].astype(str),
+                "source_url": m["source_url"].astype(str),
+            })
+
+        return triples_ds.map_batches(fuse, batch_format="pandas")
+
+    # --- scale path: co-partitioned shuffle join on the subject hash ---
+    from .joins import bucket_join
+
+    if is_df:
+        edges_ds = rd.from_pandas(
+            edges[["mention", "entity_uri"]].rename(
+                columns={"mention": "query_key"}))
+    else:
+        edges_ds = edges.select_columns(["mention", "entity_uri"]).map_batches(
+            lambda df: df.rename(columns={"mention": "query_key"}),
+            batch_format="pandas")
+    joined = bucket_join(edges_ds, triples_ds, left_on="entity_uri",
+                         right_on="subj", bucket_count=bucket_count)
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["query_key", "entity_uri", "pred", "obj", "obj_type",
+                  "source_url"]].copy()
+        for c in _FUSED_COLS:
+            out[c] = out[c].astype(str)
+        return out
+
+    return joined.map_batches(shape, batch_format="pandas")
 
 
 def pivot_fused(long_df: pd.DataFrame) -> pd.DataFrame:
