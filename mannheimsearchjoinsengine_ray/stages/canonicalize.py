@@ -250,63 +250,263 @@ def connected_components_local(edges: pd.DataFrame,
     return pd.DataFrame({"id": nodes, "component": [find(n) for n in nodes]})
 
 
+def _star_round(edges, small: bool, num_buckets: int):
+    """One large-star or small-star round (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", 2014 — public algorithm):
+
+      large-star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
+      small-star(u): m = min({v ∈ N(u): v < u} ∪ {u});
+                     emit (v, m) for v ∈ N(u), v < u, plus (u, m)
+
+    Implemented as ONE bucket shuffle (hash(u) % B groups, never a
+    high-cardinality Ray groupby) with vectorized pandas transforms inside
+    each bucket.  Input/output: canonical undirected edges (a < b), deduped.
+    """
+
+    def bucketize(t: pa.Table) -> pd.DataFrame:
+        a = t.column("a").to_pandas()
+        b = t.column("b").to_pandas()
+        # group key is u — every edge appears under BOTH endpoints
+        df = pd.DataFrame({"u": pd.concat([a, b], ignore_index=True),
+                           "v": pd.concat([b, a], ignore_index=True)})
+        df["__bucket"] = (hash64(df["u"].astype(str).to_numpy())
+                          % np.uint64(num_buckets)).astype("int64")
+        return df
+
+    def star(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["u", "v"])
+        if small:
+            lt = g[g["v"] < g["u"]]
+            mn = lt.groupby("u", sort=False)["v"].min()
+            # m = min(smaller neighbors, u) = that min (it is < u); nodes with
+            # no smaller neighbor keep m = u.  Built with numpy positional
+            # placement — any NaN detour (reindex / Series.update) silently
+            # upcasts int ids to float, and the bucket hash of "10.0" != "10"
+            # then splits groups across rounds (livelock).
+            uniq = pd.Index(g["u"].unique())
+            vals = uniq.to_numpy().copy()
+            pos = uniq.get_indexer(mn.index)
+            vals[pos] = mn.to_numpy()
+            m_of = pd.Series(vals, index=uniq)
+            # emit (v, m) for v < u, plus (u, m)
+            out_v = lt["v"]
+            out_m = lt["u"].map(m_of)
+            self_rows = pd.DataFrame({"x": m_of.index, "y": m_of.to_numpy()})
+            out = pd.concat([pd.DataFrame({"x": out_v.to_numpy(),
+                                           "y": out_m.to_numpy()}), self_rows],
+                            ignore_index=True)
+        else:
+            mn = g.groupby("u", sort=False)["v"].min()
+            u_ser = mn.index.to_series()
+            m_of = mn.where(mn < u_ser, u_ser)
+            gt = g[g["v"] > g["u"]]
+            out = pd.DataFrame({"x": gt["v"].to_numpy(),
+                                "y": gt["u"].map(m_of).to_numpy()})
+        out = out[out["x"] != out["y"]]
+        a = out[["x", "y"]].min(axis=1)
+        b = out[["x", "y"]].max(axis=1)
+        return pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+
+    return edges.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(star, batch_format="pandas")
+
+
+def _edge_stats(edges) -> tuple[int, int]:
+    """(count, order-independent checksum) in one cheap map over the
+    ALREADY-MATERIALIZED edge blocks (no lineage re-execution)."""
+    parts = edges.map_batches(
+        lambda df: pd.DataFrame({
+            "n": [len(df)],
+            "h": [int((hash64((df["a"].astype(str) + "\0" +
+                               df["b"].astype(str)).to_numpy())
+                       % np.uint64(2**61)).sum())] if len(df) else [0]}),
+        batch_format="pandas").to_pandas()
+    if parts.empty or "n" not in parts.columns:
+        return 0, 0
+    return int(parts["n"].sum()), int(parts["h"].sum())
+
+
+def _local_roots(a_vals, b_vals) -> dict:
+    """Union-find over one batch's edges → {node: root} (root = component
+    min), the map-side combine of the distributed CC."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    seen = set()
+    for x, y in zip(a_vals, b_vals):
+        seen.add(x)
+        seen.add(y)
+        rx, ry = find(x), find(y)
+        if rx == ry:
+            continue
+        if ry < rx:
+            rx, ry = ry, rx
+        parent[ry] = rx
+    return {x: find(x) for x in seen}
+
+
 def connected_components_distributed(edges_ds, max_iterations: int = 50,
-                                     num_partitions: int = 16):
-    """Min-label propagation with Dataset ops only (the canonicalization
-    groupby-aggregate of the north rule).
+                                     num_buckets: int = 32,
+                                     driver_finish_threshold: int = 200_000):
+    """Distributed connected components in three phases:
 
-    labels(node,label) start as node; each round joins labels across edges
-    and takes groupby(node).min(candidate); stops when the global checksum of
-    labels is stable.  Hot nodes are just rows — the groupby shuffle hashes
-    them across partitions, and min() is associative so Ray's map-side
-    combine handles skew (two-phase aggregation)."""
+      1. PRE-CONTRACT (map-only, no shuffle): per-batch union-find collapses
+         every intra-batch structure — chains/cliques that fit a block never
+         reach the shuffle.  Emits contracted edges + (node → rep) mapping
+         rows in one tagged pass.  Contraction typically shrinks the graph
+         by orders of magnitude (the residual is only cross-batch links).
+      2a. RESIDUAL ≤ driver_finish_threshold: finish with driver union-find
+         (the residual is provably bounded by the explicit guard — the same
+         hybrid the repo uses for label blocking).
+      2b. Otherwise STAR ROUNDS: alternating large-star / small-star
+         (Kiveris et al., "Connected Components in MapReduce and Beyond",
+         2014 — public algorithm) over the contracted cross-batch edges; ONE
+         bucket shuffle per round, no joins; long chains collapse in
+         O(log n) rounds.  At convergence the edge set IS the star forest
+         (component-min → v).
+      3. COMPOSE (one bucket shuffle): component(node) =
+         star_label(rep(node)) or rep(node) — matched per bucket with numpy
+         searchsorted, so integer/string id dtypes survive (no NaN-float
+         round-trip)."""
     import ray.data as rd
-    from ray.data.aggregate import Min
 
-    edges = edges_ds.map_batches(
-        lambda t: pa.table({"src": t["left_id"], "dst": t["right_id"]}),
-        batch_format="pyarrow")
+    def canon_contract(t: pa.Table) -> pd.DataFrame:
+        l = t.column("left_id").to_pandas()
+        r = t.column("right_id").to_pandas()
+        df = pd.DataFrame({"a": l.where(l < r, r), "b": r.where(l < r, l)})
+        df = df[df["a"] != df["b"]].drop_duplicates()
+        roots = _local_roots(df["a"].to_numpy(), df["b"].to_numpy())
+        ra = df["a"].map(roots)
+        rb = df["b"].map(roots)
+        ea = ra.where(ra < rb, rb)
+        eb = rb.where(ra < rb, ra)
+        ed = pd.DataFrame({"x": ea, "y": eb})
+        ed = ed[ed["x"] != ed["y"]].drop_duplicates()
+        nodes = pd.unique(pd.concat([df["a"], df["b"]], ignore_index=True))
+        reps = pd.Series(nodes).map(roots)
+        mp = pd.DataFrame({"x": nodes, "y": reps.to_numpy()})
+        ed.insert(0, "kind", np.int8(0))
+        mp.insert(0, "kind", np.int8(1))
+        return pd.concat([ed, mp], ignore_index=True)
 
-    def explode_nodes(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        nodes = pa.concat_arrays([t["src"].combine_chunks(), t["dst"].combine_chunks()])
-        return pa.table({"node": nodes, "label": nodes})
+    tagged = edges_ds.map_batches(canon_contract, batch_format="pyarrow") \
+        .materialize()
+    contracted = tagged.map_batches(
+        lambda df: df[df["kind"] == 0].rename(columns={"x": "a", "y": "b"})
+        [["a", "b"]], batch_format="pandas")
+    mapping = tagged.map_batches(
+        lambda df: df[df["kind"] == 1].rename(columns={"x": "node", "y": "rep"})
+        [["node", "rep"]], batch_format="pandas")
 
-    labels = edges.map_batches(explode_nodes, batch_format="pyarrow") \
-        .groupby("node").aggregate(Min("label", alias_name="label"))
+    if tagged.count() == 0:
+        return rd.from_pandas(pd.DataFrame({"id": pd.Series(dtype=object),
+                                            "component": pd.Series(dtype=object)}))
 
-    def checksum(lab_ds) -> int:
-        from ray.data.aggregate import Sum
+    # a node seen by several batches got independent local reps — those reps
+    # are one component, so link them (one bucket shuffle over the mapping)
+    def bucketize_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (hash64(df["node"].astype(str).to_numpy())
+                          % np.uint64(num_buckets)).astype("int64")
+        return df
 
-        h = lab_ds.map_batches(
-            lambda t: pa.table({"h": (hash64(t.column("label").to_pylist())
-                                      % np.uint64(2**61)).astype("int64")}),
-            batch_format="pyarrow")
-        return h.aggregate(Sum("h"))["sum(h)"]
+    def link_shared(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["node", "rep"])
+        mn = g.groupby("node", sort=False)["rep"].transform("min")
+        extra = g["rep"] != mn
+        return pd.DataFrame({"a": mn[extra].to_numpy(),
+                             "b": g.loc[extra, "rep"].to_numpy()}) \
+            .drop_duplicates()
 
-    prev = checksum(labels)
-    for _ in range(max_iterations):
-        # candidate labels flow across edges in both directions
-        l1 = edges.join(labels, join_type="inner", num_partitions=num_partitions,
-                        on=("src",), right_on=("node",)) \
-            .map_batches(lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
-                         batch_format="pyarrow")
-        l2 = edges.join(labels, join_type="inner", num_partitions=num_partitions,
-                        on=("dst",), right_on=("node",)) \
-            .map_batches(lambda t: pa.table({"node": t["src"], "label": t["label"]}),
-                         batch_format="pyarrow")
-        cand = labels.map_batches(
-            lambda t: pa.table({"node": t["node"], "label": t["label"]}),
-            batch_format="pyarrow").union(l1).union(l2)
-        labels = cand.groupby("node").aggregate(Min("label", alias_name="label")) \
-            .materialize()
-        cur = checksum(labels)
-        if cur == prev:
-            break
-        prev = cur
-    return labels.map_batches(
-        lambda t: pa.table({"id": t["node"], "component": t["label"]}),
-        batch_format="pyarrow")
+    link_edges = mapping.map_batches(bucketize_nodes, batch_format="pandas") \
+        .groupby("__bucket").map_groups(link_shared, batch_format="pandas")
+    edges = contracted.union(link_edges).materialize()
+
+    import os as _os
+    debug = bool(_os.environ.get("GRAFT_CC_DEBUG"))
+    n, checksum = _edge_stats(edges)
+
+    def star_labels(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"rep": df["b"], "comp": df["a"]})
+        roots = pd.DataFrame({"rep": df["a"].unique()})
+        roots["comp"] = roots["rep"]
+        out = pd.concat([out, roots], ignore_index=True).drop_duplicates("rep")
+        out.insert(0, "kind", np.int8(1))
+        return out.rename(columns={"rep": "node", "comp": "val"})
+
+    if 0 < n <= driver_finish_threshold:
+        # residual is guard-bounded — driver union-find, skip the rounds
+        edf = edges.to_pandas()
+        comp = connected_components_local(edf, left="a", right="b")
+        lab_df = pd.DataFrame({"kind": np.int8(1), "node": comp["id"],
+                               "val": comp["component"]})
+        labels = rd.from_pandas(lab_df)
+        if debug:
+            print(f"[cc] driver finish: residual {n} edges", flush=True)
+    else:
+        it = 0
+        while n > 0 and it < max_iterations:
+            edges = _star_round(edges, small=False, num_buckets=num_buckets) \
+                .materialize()
+            edges = _star_round(edges, small=True, num_buckets=num_buckets) \
+                .materialize()
+            new_n, new_checksum = _edge_stats(edges)
+            if debug:
+                print(f"[cc] round {it}: edges {n}->{new_n}", flush=True)
+            if (new_n, new_checksum) == (n, checksum):
+                break
+            n, checksum = new_n, new_checksum
+            it += 1
+        # --- star forest labels ---
+        labels = edges.map_batches(star_labels, batch_format="pandas")
+    probes = mapping.map_batches(
+        lambda df: pd.DataFrame({"kind": np.int8(0), "node": df["node"],
+                                 "val": df["rep"]}),
+        batch_format="pandas")
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        # label rows key on the rep they describe (their own node); probe
+        # rows key on the rep they need (their val)
+        kind = df["kind"].to_numpy()
+        key = np.where(kind == 1, df["node"].astype(str).to_numpy(),
+                       df["val"].astype(str).to_numpy())
+        df = df.copy()
+        df["__bucket"] = (hash64(key) % np.uint64(num_buckets)).astype("int64")
+        return df
+
+    def compose(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["kind"] == 1].drop_duplicates("node")
+        pr = g[g["kind"] == 0]
+        if pr.empty:
+            return pd.DataFrame({"id": pr["node"], "component": pr["val"]})
+        rep = pr["val"].to_numpy()
+        if lab.empty:
+            return pd.DataFrame({"id": pr["node"].to_numpy(), "component": rep})
+        # numpy searchsorted lookup — id dtypes survive (no NaN-float detour)
+        order = np.argsort(lab["node"].to_numpy(), kind="stable")
+        keys = lab["node"].to_numpy()[order]
+        vals = lab["val"].to_numpy()[order]
+        idx = np.searchsorted(keys, rep)
+        idx_c = np.clip(idx, 0, len(keys) - 1)
+        found = keys[idx_c] == rep
+        comp = np.where(found, vals[idx_c], rep)
+        return pd.DataFrame({"id": pr["node"].to_numpy(), "component": comp})
+
+    composed = labels.union(probes) \
+        .map_batches(bucketize, batch_format="pandas") \
+        .groupby("__bucket").map_groups(compose, batch_format="pandas")
+    # a node seen by several batches composes once per distinct rep — all
+    # agree on the component (the reps were linked), so keep the first
+    from .aggregates import dedupe_by_key
+
+    return dedupe_by_key(composed, "id", num_buckets=num_buckets)
 
 
 # ---------------------------------------------------------------------------

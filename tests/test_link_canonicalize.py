@@ -219,10 +219,70 @@ class TestConnectedComponents:
         import ray.data as rd
 
         local = C.connected_components_local(self.EDGES)
-        dist = C.connected_components_distributed(
-            rd.from_pandas(self.EDGES), num_partitions=2).to_pandas()
         a = local.sort_values("id").reset_index(drop=True)
-        b = dist.sort_values("id").reset_index(drop=True)
+        # both residual paths: forced star rounds and driver finish
+        for thresh in (0, 200_000):
+            dist = C.connected_components_distributed(
+                rd.from_pandas(self.EDGES), num_buckets=2,
+                driver_finish_threshold=thresh).to_pandas()
+            b = dist.sort_values("id").reset_index(drop=True)
+            pd.testing.assert_frame_equal(a, b)
+
+    def test_star_rounds_forced_multiblock(self, ray_session):
+        """Long chain + cliques split across blocks with the driver finish
+        DISABLED — pins the distributed star rounds themselves."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(11)
+        chain = np.arange(400) + 1_000_000
+        cl = [(5_000_000 + i, 5_000_000 + j)
+              for i in range(40) for j in range(i + 1, 40)]
+        edges = pd.DataFrame({
+            "left_id": np.concatenate([chain[:-1], [e[0] for e in cl],
+                                       rng.integers(0, 3000, 4000)]).astype("int64"),
+            "right_id": np.concatenate([chain[1:], [e[1] for e in cl],
+                                        rng.integers(0, 3000, 4000)]).astype("int64")})
+        edges = edges[edges["left_id"] != edges["right_id"]]
+        ds = rd.from_pandas(
+            edges.sample(frac=1.0, random_state=5).reset_index(drop=True)) \
+            .repartition(16).materialize()
+        dist = C.connected_components_distributed(
+            ds, max_iterations=30, num_buckets=8,
+            driver_finish_threshold=0).to_pandas()
+        local = C.connected_components_local(edges)
+        a = local.sort_values("id").reset_index(drop=True)
+        b = dist.sort_values("id").reset_index(drop=True) \
+            .astype({"id": "int64", "component": "int64"})
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_distributed_above_cutoff(self, ray_session):
+        """2.05M edges (above the 2M driver-local cutoff in
+        mapping_from_edges): star/clique/chain graph, rows shuffled across 64
+        blocks so cross-block merging exercises the star rounds, bounded
+        iteration count."""
+        import ray.data as rd
+
+        n_star = 410_000
+        base = np.arange(n_star) * 10
+        L = np.concatenate([base for _ in range(1, 6)])
+        R = np.concatenate([base + k for k in range(1, 6)])
+        chain = np.arange(128) + 10_000_000
+        cl = [(20_000_000 + i, 20_000_000 + j)
+              for i in range(100) for j in range(i + 1, 100)]
+        edges = pd.DataFrame({
+            "left_id": np.concatenate(
+                [L, chain[:-1], [e[0] for e in cl]]).astype("int64"),
+            "right_id": np.concatenate(
+                [R, chain[1:], [e[1] for e in cl]]).astype("int64")})
+        assert len(edges) > 2_000_000
+        edges = edges.sample(frac=1.0, random_state=3).reset_index(drop=True)
+        ds = rd.from_pandas(edges).repartition(64).materialize()
+        dist = C.connected_components_distributed(
+            ds, max_iterations=25, num_buckets=16).to_pandas()
+        local = C.connected_components_local(edges)
+        a = local.sort_values("id").reset_index(drop=True)
+        b = dist.sort_values("id").reset_index(drop=True) \
+            .astype({"id": "int64", "component": "int64"})
         pd.testing.assert_frame_equal(a, b)
 
 

@@ -91,7 +91,7 @@ def test_distributed_cc_random_graph(ray_session):
     edges = edges[edges["left_id"] != edges["right_id"]].reset_index(drop=True)
     local = C.connected_components_local(edges)
     dist = C.connected_components_distributed(rd.from_pandas(edges),
-                                              num_partitions=4).to_pandas()
+                                              num_buckets=4).to_pandas()
     a = local.sort_values("id").reset_index(drop=True)
     b = dist.sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
