@@ -121,3 +121,43 @@ def word_shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
         return hash64([" ".join(tokens)])
     sh = [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
     return hash64(sh)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (partials OR-mergeable — the broadcast-semi-join sketch)
+# ---------------------------------------------------------------------------
+
+def bloom_partial(values, num_bits: int = 1 << 22, num_hashes: int = 4) -> np.ndarray:
+    """Bloom-filter bit array (packed uint8, ``num_bits/8`` bytes) over an
+    array-like of keys.  Per-batch partials OR together into the global
+    filter — the driver merge is bounded by the FIXED filter size, never by
+    the key cardinality (the scale-safe replacement for collecting a
+    distinct-key set)."""
+    bits = np.zeros(num_bits // 8, dtype=np.uint8)
+    if len(values) == 0:
+        return bits
+    h = hash64(np.asarray(values, dtype=object))
+    for i in range(num_hashes):
+        # double hashing: g_i(x) = h1 + i*h2 (Kirsch–Mitzenmacher)
+        h1 = h & np.uint64(0xFFFFFFFF)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        idx = ((h1 + np.uint64(i) * h2) % np.uint64(num_bits)).astype(np.int64)
+        np.bitwise_or.at(bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+    return bits
+
+
+def bloom_contains(bits: np.ndarray, values, num_hashes: int = 4) -> np.ndarray:
+    """Vectorized membership test → bool mask (false positives possible,
+    false negatives impossible)."""
+    num_bits = len(bits) * 8
+    n = len(values)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    h = hash64(np.asarray(values, dtype=object))
+    out = np.ones(n, dtype=bool)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    for i in range(num_hashes):
+        idx = ((h1 + np.uint64(i) * h2) % np.uint64(num_bits)).astype(np.int64)
+        out &= (bits[idx >> 3] & (1 << (idx & 7)).astype(np.uint8)) != 0
+    return out

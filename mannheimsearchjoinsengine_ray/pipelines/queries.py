@@ -117,17 +117,34 @@ def q_value_multiplicity(sf_dir: str):
 
 def q_column_uniqueness(sf_dir: str):
     """Column uniqueness rank (TableColumn.getColumnUniqnessRank:219-240):
-    distinct/total per column — the key-identification statistic."""
-    from ray.data.aggregate import AggregateFn  # noqa: F401 (API presence)
+    distinct/total per column — the key-identification statistic.
 
-    ds = _rp(sf_dir, "part", ["p_name", "p_brand", "p_type"])
+    Scale: ONE pass emits per-batch-distinct (column, value) pairs (map-side
+    combine), one bucket shuffle dedupes globally (dedupe_by_key — constant
+    group count), and a tiny two-phase count per column finishes.  Nothing
+    near column cardinality ever reaches the driver."""
+    from ..stages.aggregates import dedupe_by_key, two_phase_agg
+
+    cols = ["p_name", "p_brand", "p_type"]
+    ds = _rp(sf_dir, "part", cols)
     total = ds.count()
-    rows = []
-    for col in ["p_name", "p_brand", "p_type"]:
-        distinct = len(ds.unique(col))
-        rows.append({"column_name": col,
-                     "uniqueness": round(distinct / total, 6)})
-    return pd.DataFrame(rows)
+
+    def explode_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for c in cols:
+            vals = df[c].drop_duplicates()
+            parts.append(pd.DataFrame({"column_name": c, "value": vals.astype(str)}))
+        out = pd.concat(parts, ignore_index=True)
+        out["__pair"] = out["column_name"] + "\0" + out["value"]
+        return out
+
+    distinct = dedupe_by_key(
+        ds.map_batches(explode_distinct, batch_format="pandas"), "__pair")
+    counts = two_phase_agg(distinct, ["column_name"],
+                           {"n_distinct": (None, "count")}).to_pandas()
+    counts["uniqueness"] = (counts["n_distinct"] / total).round(6)
+    return counts[["column_name", "uniqueness"]] \
+        .sort_values("column_name").reset_index(drop=True)
 
 
 def q_customers_with_orders(sf_dir: str):
@@ -152,22 +169,50 @@ def q_customers_with_orders(sf_dir: str):
 
 
 def q_orders_without_lineitems(sf_dir: str):
-    """Broadcast anti-join (avoid-lists, SearchJoin.checkEntryInList:329-336):
-    orders with no lineitems.  Scale: the probe-side key set is distinct order
-    keys of the fact table — at real scale use a Bloom filter; here the
-    distinct set is broadcast once via ray.put."""
+    """Anti-join via Bloom prefilter + exact bucket verification
+    (avoid-lists, SearchJoin.checkEntryInList:329-336): orders with no
+    lineitems.
+
+    Scale: per-batch Bloom PARTIALS over the fact table's keys OR together
+    on the driver — bounded by the FIXED filter size (512 KiB), never by key
+    cardinality.  Orders absent from the Bloom are definitely unmatched and
+    ship straight to the output; the "maybe present" residue (true matches +
+    false positives) is verified EXACTLY by a bucket anti-join whose right
+    side ships only per-batch-deduped keys."""
     import ray
 
-    orderkeys = set(_rp(sf_dir, "lineitem", ["l_orderkey"]).unique("l_orderkey"))
-    keys_ref = ray.put(orderkeys)
+    from ..functions.hashing import bloom_contains, bloom_partial
+    from ..stages.joins import bucket_anti_join
 
-    def anti(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(keys_ref)
-        return df[~df["o_orderkey"].isin(keys)][["o_orderkey", "o_orderstatus"]]
+    num_bits = 1 << 22
+    li = _rp(sf_dir, "lineitem", ["l_orderkey"])
+    partials = li.map_batches(
+        lambda df: pd.DataFrame({"bloom": [bloom_partial(
+            df["l_orderkey"].to_numpy(), num_bits=num_bits).tobytes()]}),
+        batch_format="pandas").to_pandas()
+    bloom = np.zeros(num_bits // 8, dtype=np.uint8)
+    for b in partials["bloom"]:
+        bloom |= np.frombuffer(b, dtype=np.uint8)
+    bloom_ref = ray.put(bloom)
 
-    out = _rp(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]) \
-        .map_batches(anti, batch_format="pandas")
-    return out.to_pandas()
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        maybe = bloom_contains(ray.get(bloom_ref), df["o_orderkey"].to_numpy())
+        out = df[["o_orderkey", "o_orderstatus"]].copy()
+        out["__maybe"] = maybe
+        return out
+
+    tagged = orders.map_batches(split, batch_format="pandas").materialize()
+    definite = tagged.map_batches(
+        lambda df: df[~df["__maybe"]].drop(columns="__maybe"),
+        batch_format="pandas")
+    residue = tagged.map_batches(
+        lambda df: df[df["__maybe"]].drop(columns="__maybe"),
+        batch_format="pandas")
+    verified = bucket_anti_join(residue, li, left_on="o_orderkey",
+                                right_on="l_orderkey", bucket_count=16)
+    return definite.union(verified).to_pandas()
 
 
 def q_events_last_order(sf_dir: str):
@@ -210,25 +255,42 @@ def q_events_hourly_window(sf_dir: str):
 
 
 def q_user_sessions(sf_dir: str):
-    """Sessionization (session windows, 30-minute inactivity gap): per-user
-    sorted map_groups computes gap breaks and cumulative session ids — the
-    stream-shaped groupby(key).map_groups pattern from the Ray guide.
-    Session membership is tie-safe (equal timestamps always share a session),
-    so the result matches the SQL gaps-and-islands oracle exactly."""
-    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+    """Sessionization (session windows, 30-minute inactivity gap).
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts").reset_index(drop=True)
+    Scale: users hash into a CONSTANT number of buckets (hash(user_id) % B —
+    never a per-user map_groups, whose per-group overhead dominates at high
+    key cardinality); inside each bucket ONE vectorized pandas pass
+    sessionizes every user (sort → per-user diff → gap flags → cumsum).
+    Session membership is tie-safe (equal timestamps share a session), so
+    the result matches the SQL gaps-and-islands oracle exactly."""
+    from ..functions.hashing import hash64
+
+    ds = _rp(sf_dir, "events", ["user_id", "ts"])
+    num_buckets = 32
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["user_id", "ts"]].copy()
+        df["__bucket"] = (hash64(df["user_id"].astype(str).to_numpy())
+                          % np.uint64(num_buckets)).astype("int64")
+        return df
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort") \
+            .reset_index(drop=True)
+        new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=30)
-        sid = gap.cumsum().astype("int64") + 1  # SQL SUM(brk) with brk=1 on first row
-        out = g.assign(session_id=sid).groupby("session_id", as_index=False).agg(
+        brk = (new_user | gap).astype("int64")
+        sid = brk.groupby(g["user_id"]).cumsum()
+        out = g.assign(session_id=sid).groupby(
+            ["user_id", "session_id"], as_index=False, sort=False).agg(
             n_events=("ts", "size"),
             session_start=("ts", "min"),
             session_end=("ts", "max"))
-        out.insert(0, "user_id", g["user_id"].iloc[0])
         return out
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    return ds.map_batches(bucketize, batch_format="pandas") \
+        .groupby("__bucket").map_groups(sessions_bucket, batch_format="pandas") \
+        .to_pandas()
 
 
 def q_top_users_by_value(sf_dir: str):
@@ -345,14 +407,21 @@ def q_token_counts(sf_dir: str):
 
 def q_exact_dedup(sf_dir: str):
     """Exact dedup: first (min doc_id) per identical text (groupby(key).first
-    — SURVEY §2.6).  Two-phase: duplicates collapse inside each batch before
-    the shuffle (at scale, shuffle a content hash, not the text)."""
+    — SURVEY §2.6), through the stage-level idiom (stages/dedup.py): the
+    SHUFFLE KEY is a fixed-width 64-bit content hash, never the raw text.
+    Map-side partials collapse duplicates per batch, so at most one
+    representative text row per (hash, batch) travels — the text rides as a
+    value, the wide column never becomes a sort key."""
     from ..stages.aggregates import two_phase_agg
+    from ..stages.dedup import add_content_hash
 
-    out = two_phase_agg(_rp(sf_dir, "documents", ["doc_id", "text"]),
-                        ["text"], {"keep_id": ("doc_id", "min"),
-                                   "n_copies": (None, "count")})
-    return out.to_pandas()
+    hashed = _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        add_content_hash, batch_format="pyarrow")
+    out = two_phase_agg(hashed, ["content_hash"],
+                        {"keep_id": ("doc_id", "min"),
+                         "n_copies": (None, "count"),
+                         "text": ("text", "min")}).to_pandas()
+    return out[["text", "keep_id", "n_copies"]]
 
 
 def q_quality_filter(sf_dir: str):
@@ -451,8 +520,9 @@ def q_ann_topk(sf_dir: str):
     from ..stages.ann import knn_brute
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qdf = emb.filter(lambda r: r["vec_id"] < 20).to_pandas()
-    qdf = qdf.sort_values("vec_id")
+    qdf = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(20))),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id")
     res = knn_brute(emb, np.stack(qdf["embedding"].to_numpy()), k=5,
                     query_ids=qdf["vec_id"].to_numpy())
     return res[["query_id", "neighbor_id", "rank"]]
@@ -464,7 +534,9 @@ def q_ann_ivf_topk(sf_dir: str):
     from ..stages.ann import knn_ivf
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qdf = emb.filter(lambda r: r["vec_id"] < 20).to_pandas().sort_values("vec_id")
+    qdf = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(20))),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id")
     res = knn_ivf(emb, np.stack(qdf["embedding"].to_numpy()), k=5,
                   n_centroids=16, nprobe=4, query_ids=qdf["vec_id"].to_numpy())
     return res[["query_id", "neighbor_id", "rank"]]

@@ -80,6 +80,45 @@ def bucket_join(left_ds, right_ds, left_on: str, right_on: str,
     return l2.union(r2).groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
+def bucket_anti_join(left_ds, right_ds, left_on: str, right_on: str,
+                     bucket_count: int = 32):
+    """LEFT rows whose key has NO match on the right — the exact anti-join,
+    expressed as the same one-union-one-groupby exchange as ``bucket_join``.
+    The right side ships only its per-batch-deduped KEYS (map-side combine),
+    so the shuffle volume is bounded by distinct keys, not fact-table rows."""
+    left_cols = _schema_names(left_ds)
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__key"] = df[left_on]
+        out["__bucket"] = (hash64(df[left_on].astype(str).to_numpy())
+                           % np.uint64(bucket_count)).astype("int64")
+        out["__side"] = np.int8(0)
+        return out
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[right_on].drop_duplicates()
+        out = pd.DataFrame({"__key": keys})
+        for c in left_cols:
+            out[c] = None
+        out["__bucket"] = (hash64(keys.astype(str).to_numpy())
+                           % np.uint64(bucket_count)).astype("int64")
+        out["__side"] = np.int8(1)
+        return out
+
+    l2 = left_ds.map_batches(tag_left, batch_format="pandas")
+    r2 = right_ds.map_batches(tag_right, batch_format="pandas")
+
+    def anti(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group["__side"] == 0]
+        rkeys = group.loc[group["__side"] == 1, "__key"]
+        keep = l[~l["__key"].isin(set(rkeys))]
+        return keep[left_cols]
+
+    return l2.union(r2).groupby("__bucket").map_groups(anti,
+                                                       batch_format="pandas")
+
+
 def asof_join(left_ds, right_ds, left_on: str, right_on: str,
               left_ts: str, right_ts: str, bucket_count: int = 16,
               inner: bool = True):

@@ -101,3 +101,36 @@ def test_dedupe_by_key_matches_pandas(ray_session, rng):
     assert sorted(got["id"]) == sorted(want["id"])
     assert dict(zip(got["id"], got["payload"])) == \
         dict(zip(want["id"], want["payload"]))
+
+
+def test_bucket_anti_join_matches_pandas(ray_session, rng):
+    import ray.data as rd
+
+    from mannheimsearchjoinsengine_ray.stages.joins import bucket_anti_join
+
+    left = pd.DataFrame({"k": rng.integers(0, 500, 2000),
+                         "payload": rng.integers(0, 9, 2000)})
+    right = pd.DataFrame({"rk": rng.integers(0, 300, 5000)})
+    got = bucket_anti_join(rd.from_pandas(left), rd.from_pandas(right),
+                           left_on="k", right_on="rk",
+                           bucket_count=8).to_pandas()
+    want = left[~left["k"].isin(set(right["rk"]))]
+    a = got.sort_values(["k", "payload"]).reset_index(drop=True)
+    b = want.sort_values(["k", "payload"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a.astype({"k": "int64", "payload": "int64"}), b)
+
+
+def test_bloom_no_false_negatives(rng):
+    from mannheimsearchjoinsengine_ray.functions.hashing import (
+        bloom_contains,
+        bloom_partial,
+    )
+
+    keys = rng.integers(0, 10**9, 20_000)
+    half = len(keys) // 2
+    bloom = bloom_partial(keys[:half]) | bloom_partial(keys[half:])
+    assert bloom_contains(bloom, keys).all()  # no false negatives, ever
+    absent = rng.integers(2 * 10**9, 3 * 10**9, 20_000)
+    fp = bloom_contains(bloom, absent).mean()
+    assert fp < 0.01  # 4 MiB filter, 20k keys -> tiny fp rate
+    assert not bloom_contains(bloom, np.array([], dtype=np.int64)).any()
