@@ -157,14 +157,29 @@ def top1_links(edges_ds):
 # ---------------------------------------------------------------------------
 
 def aggregate_edges(edges_ds, left_total_mentions: int,
-                    ranking: str = "queryTableCoverage"):
+                    ranking: str = "queryTableCoverage",
+                    label_ranks: dict | None = None,
+                    min_rank: float | None = None):
     """Edge Dataset → per-entity-group JoinResult aggregates.
 
     JoinResult accumulation (SearchJoin.java:827-840): count, score sums;
     ranking modes (ScoreEvaluator.assessJoinResult :48-122):
-      queryTableCoverage      = count * avgScore / leftDistinct
-      entityTableCoverage     = count * avgScore / rightCardinality
-      queryEntitySum          = count * avgScore
+      queryTableCoverage           = count * avgScore / leftDistinct
+      entityTableCoverage          = count * avgScore / rightCardinality
+      queryEntitySum               = count * avgScore
+      queryTableCoverageNormalized = (sumScore / joinPairs) / (maxScore /
+                                     maxJoins), with joinPairs bumped to
+                                     leftDistinct when count < 30 % of it
+                                     (the few-matches penalty) — max-
+                                     normalized against the best group
+                                     (SearchJoin.java:203-222).
+    The mode rank then blends 50/50 with the normalized label-based
+    schema-matching rank (``label_ranks``: group → raw label score;
+    normalization per ScoreEvaluator.getNormalizedLabelScore :124-129,
+    bounds ±3×DBPEDIA_EXACT_MATCH_SCORE) — ``total_rank`` is the blended
+    final, ``rank`` the mode rank (r.setRank vs r.setTotalRank).
+    ``min_rank`` filters the blended rank (the reference's >= 0.6 selection
+    for the normalized mode, SearchJoin.java:236-238).
     Group key here is the entity-URI prefix class (entity "table" analog).
     """
     def add_group(t: pa.Table) -> pa.Table:
@@ -184,6 +199,14 @@ def aggregate_edges(edges_ds, left_total_mentions: int,
     from .aggregates import dedupe_by_key, two_phase_agg
 
     grouped = edges_ds.map_batches(add_group, batch_format="pyarrow").materialize()
+    if grouped.count() == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({
+            c: pd.Series(dtype="object" if c == "entity_group" else "float64")
+            for c in ["entity_group", "count", "sum_score", "avg_score",
+                      "right_cardinality", "rank", "label_rank_norm",
+                      "total_rank"]}))
     agg = two_phase_agg(grouped, ["entity_group"], {
         "count": (None, "count"),
         "sum_score": ("score", "sum"),
@@ -202,18 +225,45 @@ def aggregate_edges(edges_ds, left_total_mentions: int,
                          {"right_cardinality": (None, "count")}).to_pandas()
     card_map = dict(zip(card["entity_group"], card["right_cardinality"]))
 
-    def rank(df: pd.DataFrame) -> pd.DataFrame:
-        df["right_cardinality"] = df["entity_group"].map(card_map).fillna(1).astype("int64")
-        if ranking == "queryTableCoverage":
-            df["total_rank"] = df["count"] * df["avg_score"] / max(1, left_total_mentions)
-        elif ranking == "queryEntitySum":
-            df["total_rank"] = df["count"] * df["avg_score"]
-        elif ranking == "entityTableCoverage":
-            df["total_rank"] = df["count"] * df["avg_score"] / \
-                df["right_cardinality"].clip(lower=1)
+    # the per-group table is bounded by the entity-group count (tiny next to
+    # the edges), so the max-normalization + blend run driver-side pandas
+    df = agg.to_pandas()
+    df["right_cardinality"] = df["entity_group"].map(card_map) \
+        .fillna(1).astype("int64")
+    left_card = max(1, left_total_mentions)
+    if ranking == "queryTableCoverage":
+        df["rank"] = df["count"] * df["avg_score"] / left_card
+    elif ranking == "queryEntitySum":
+        df["rank"] = df["count"] * df["avg_score"]
+    elif ranking == "entityTableCoverage":
+        df["rank"] = df["count"] * df["avg_score"] / \
+            df["right_cardinality"].clip(lower=1)
+    elif ranking == "queryTableCoverageNormalized":
+        if len(df):
+            best = df["sum_score"].idxmax()
+            max_score = float(df.loc[best, "sum_score"])
+            max_joins = max(1, int(df.loc[best, "count"]))
+            join_pairs = df["count"].where(
+                df["count"] >= left_card * 0.3, left_card)
+            best_score = max_score / max_joins if max_score > 0 else 1.0
+            df["rank"] = (df["sum_score"] / join_pairs) / max(1e-12, best_score)
         else:
-            df["total_rank"] = df["avg_score"]
-        return df
+            df["rank"] = pd.Series(dtype=float)
+    else:
+        df["rank"] = df["avg_score"]
 
-    return agg.map_batches(rank, batch_format="pandas") \
-        .sort("total_rank", descending=True)
+    # 50/50 blend with the normalized label-based schema-matching rank
+    # (ScoreEvaluator.java:106-122); raw label rank defaults to 0, which
+    # normalizes to the midpoint 15/31 — same constant shift for every group
+    exact = 5.0  # LabelBasedComparer.DBPEDIA_EXACT_MATCH_SCORE
+    lmin, lmax = -3.0 * exact, 3.0 * exact + 1
+    raw_label = df["entity_group"].map(label_ranks or {}).fillna(0.0)
+    df["label_rank_norm"] = (raw_label - lmin) / (lmax - lmin)
+    df["total_rank"] = 0.5 * df["rank"] + 0.5 * df["label_rank_norm"]
+    if min_rank is not None:
+        df = df[df["total_rank"] >= min_rank]
+    df = df.sort_values("total_rank", ascending=False).reset_index(drop=True)
+
+    import ray.data as rd
+
+    return rd.from_pandas(df)

@@ -188,18 +188,92 @@ def test_edge_aggregation(ray_session, index_dir):
                             PipelineConfig(linker_concurrency=1))
     top1 = L.top1_links(edges)
     agg = L.aggregate_edges(top1, left_total_mentions=4).to_pandas()
-    assert {"entity_group", "count", "total_rank", "right_cardinality"} <= set(agg.columns)
+    assert {"entity_group", "count", "rank", "total_rank",
+            "label_rank_norm", "right_cardinality"} <= set(agg.columns)
     assert agg["count"].sum() == 4
     # every ranking mode produces a finite, sorted total_rank
-    for mode in ["queryTableCoverage", "queryEntitySum", "entityTableCoverage"]:
+    for mode in ["queryTableCoverage", "queryEntitySum", "entityTableCoverage",
+                 "queryTableCoverageNormalized"]:
         r = L.aggregate_edges(top1, left_total_mentions=4, ranking=mode).to_pandas()
         assert r["total_rank"].notna().all()
         assert list(r["total_rank"]) == sorted(r["total_rank"], reverse=True)
-    # entityTableCoverage divides by distinct entities per group
+    # entityTableCoverage divides by distinct entities per group; total_rank
+    # is the 50/50 blend with the (neutral) normalized label rank
     etc = L.aggregate_edges(top1, left_total_mentions=4,
                             ranking="entityTableCoverage").to_pandas()
     row = etc.iloc[0]
-    assert row["total_rank"] == row["count"] * row["avg_score"] / row["right_cardinality"]
+    assert row["rank"] == row["count"] * row["avg_score"] / row["right_cardinality"]
+    assert row["total_rank"] == pytest.approx(0.5 * row["rank"] + 0.5 * (15 / 31))
+
+
+class TestRankingModes:
+    """All 4 assessJoinResult modes against hand-computed goldens
+    (ScoreEvaluator.java:48-122 + the SearchJoin.java:203-222 max pass)."""
+
+    @pytest.fixture(scope="class")
+    def edges(self, ray_session):
+        import ray.data as rd
+
+        # group A: 3 edges, scores 2,2,2 over 2 distinct entities
+        # group B: 1 edge, score 8, 1 entity
+        rows = []
+        for i, (uri, score) in enumerate([("http://x/A1", 2.0),
+                                          ("http://x/A2", 2.0),
+                                          ("http://x/A1", 2.0),
+                                          ("http://y/B1", 8.0)]):
+            rows.append({"url": "u", "table_idx": 0, "row_idx": i,
+                         "mention": f"m{i}", "entity_uri": uri,
+                         "score": score, "rank": 0,
+                         "matched_name": "n",
+                         "entity_type": "TA" if "x/" in uri else "TB"})
+        return rd.from_pandas(pd.DataFrame(rows))
+
+    LEFT = 10  # leftColumnDistinctValues / cardinality
+
+    def get(self, edges, mode, **kw):
+        df = L.aggregate_edges(edges, left_total_mentions=self.LEFT,
+                               ranking=mode, **kw).to_pandas()
+        return df.set_index("entity_group")
+
+    def test_query_table_coverage(self, edges):
+        df = self.get(edges, "queryTableCoverage")
+        assert df.loc["TA", "rank"] == pytest.approx(3 * 2.0 / self.LEFT)
+        assert df.loc["TB", "rank"] == pytest.approx(1 * 8.0 / self.LEFT)
+
+    def test_entity_table_coverage(self, edges):
+        df = self.get(edges, "entityTableCoverage")
+        assert df.loc["TA", "rank"] == pytest.approx(3 * 2.0 / 2)  # 2 entities
+        assert df.loc["TB", "rank"] == pytest.approx(1 * 8.0 / 1)
+
+    def test_query_entity_sum(self, edges):
+        df = self.get(edges, "queryEntitySum")
+        assert df.loc["TA", "rank"] == pytest.approx(3 * 2.0)
+        assert df.loc["TB", "rank"] == pytest.approx(8.0)
+
+    def test_normalized_with_penalty_and_max(self, edges):
+        # maxScore = max sum_score = 8 (group B), maxJoins = its count = 1
+        # bestScore = 8/1 = 8
+        # TA: count 3 >= 0.3*10 → joinPairs=3; myScore = 6/3 = 2; rank = 2/8
+        # TB: count 1 <  0.3*10 → joinPairs=LEFT=10; myScore = 8/10; rank = .1
+        df = self.get(edges, "queryTableCoverageNormalized")
+        assert df.loc["TA", "rank"] == pytest.approx((6 / 3) / 8)
+        assert df.loc["TB", "rank"] == pytest.approx((8 / 10) / 8)
+        # blend: neutral label rank normalizes to (0+15)/31
+        assert df.loc["TA", "total_rank"] == pytest.approx(
+            0.5 * 0.25 + 0.5 * (15 / 31))
+
+    def test_label_blend_and_min_rank(self, edges):
+        # exact label match (raw 5) for TA lifts its blended rank
+        df = self.get(edges, "queryTableCoverageNormalized",
+                      label_ranks={"TA": 5.0})
+        assert df.loc["TA", "label_rank_norm"] == pytest.approx(20 / 31)
+        assert df.loc["TA", "total_rank"] == pytest.approx(
+            0.5 * 0.25 + 0.5 * (20 / 31))
+        # the reference's >= 0.6 selection drops both groups here
+        kept = L.aggregate_edges(edges, left_total_mentions=self.LEFT,
+                                 ranking="queryTableCoverageNormalized",
+                                 min_rank=0.6).to_pandas()
+        assert len(kept) == 0
 
 
 class TestConnectedComponents:
