@@ -109,6 +109,95 @@ _UNIT_TABLES: dict[str, tuple[str, list[tuple[str, float, tuple[str, ...]]]]] = 
         ("billion", 1.0e9, ("billion", "bn")),
         ("trillion", 1.0e12, ("trillion",)),
     ]),
+    # --- the remaining reference families (Convertible/*.txt surfaces with
+    # our own public conversion factors).  Two reference data-file factors
+    # are physically wrong and intentionally diverged from: hectopascal
+    # (0.01 there, 100 Pa here) and newtonCentimetre (0.001 there, 0.01 Nm
+    # here).  Abbreviations that lowercase onto an earlier family's key
+    # ("mn"→million, "kn"→knot, "mb"→megabyte) resolve to the earlier
+    # family; the full subunit name always works. ---
+    "Pressure": ("pascal", [
+        ("pascal", 1.0, ("pa", "pascal")),
+        ("millipascal", 1.0e-3, ("millipascal",)),
+        ("hectopascal", 100.0, ("hpa", "hectopascal")),
+        ("kilopascal", 1.0e3, ("kpa", "kilopascal")),
+        ("megapascal", 1.0e6, ("mpa", "megapascal")),
+        ("millibar", 100.0, ("mbar", "millibar")),
+        ("decibar", 1.0e4, ("dbar", "decibar")),
+        ("bar", 1.0e5, ("bar",)),
+        ("standardAtmosphere", 101325.0, ("atm", "standardatmosphere")),
+        ("poundPerSquareInch", 6894.757293168, ("psi", "poundpersquareinch")),
+        ("torr", 133.3223684211, ("torr", "mmhg")),
+    ]),
+    "Force": ("newton", [
+        ("newton", 1.0, ("n", "newton", "newtons")),
+        ("nanonewton", 1.0e-9, ("nn", "nanonewton")),
+        ("millinewton", 1.0e-3, ("millinewton",)),
+        ("kilonewton", 1.0e3, ("kilonewton",)),
+        ("meganewton", 1.0e6, ("meganewton",)),
+        ("giganewton", 1.0e9, ("gn", "giganewton")),
+        ("tonneForce", 9806.65, ("tf", "t-f", "tonne-force", "tonneforce")),
+        ("kilogramForce", 9.80665, ("kgf", "kg-f", "kilogram-force", "kilogramforce", "kilopond", "kp")),
+        ("gramForce", 9.80665e-3, ("gf", "g-f", "gram-force", "gramforce", "pond")),
+        ("poundal", 0.138254954376, ("pdl", "poundal")),
+        ("poundForce", 4.4482216152605, ("lbf", "pound-force", "poundforce")),
+    ]),
+    "Frequency": ("hertz", [
+        ("hertz", 1.0, ("hz", "hertz")),
+        ("millihertz", 1.0e-3, ("millihertz",)),
+        ("kilohertz", 1.0e3, ("khz", "kilohertz")),
+        ("megahertz", 1.0e6, ("mhz", "megahertz")),
+        ("gigahertz", 1.0e9, ("ghz", "gigahertz")),
+        ("terahertz", 1.0e12, ("thz", "terahertz")),
+    ]),
+    "Voltage": ("volt", [
+        ("volt", 1.0, ("v", "volt", "volts")),
+        ("megavolt", 1.0e6, ("megavolt",)),
+        ("kilovolt", 1.0e3, ("kv", "kilovolt")),
+        ("millivolt", 1.0e-3, ("mv", "millivolt")),
+        ("microvolt", 1.0e-6, ("µv", "uv", "microvolt")),
+    ]),
+    "ElectricCurrent": ("ampere", [
+        ("ampere", 1.0, ("a", "ampere", "amperes", "amp", "amps")),
+        ("kiloampere", 1.0e3, ("ka", "kiloampere")),
+        ("milliampere", 1.0e-3, ("ma", "milliampere")),
+        ("microampere", 1.0e-6, ("µa", "ua", "microampere")),
+    ]),
+    "Density": ("kilogramPerCubicMetre", [
+        ("kilogramPerCubicMetre", 1.0, ("kg/m³", "kg/m3", "kg·m−3", "kilogrampercubicmetre")),
+        ("kilogramPerLitre", 1.0e3, ("kg/l", "kilogramperlitre")),
+        ("gramPerCubicCentimetre", 1.0e3, ("g/cc", "g/cm3", "g/cm³", "grampercubiccentimetre")),
+        ("gramPerMillilitre", 1.0e3, ("g/ml", "grampermillilitre")),
+    ]),
+    "Torque": ("newtonMetre", [
+        ("newtonMetre", 1.0, ("nm", "n.m", "n·m", "newtonmetre", "newton-metre")),
+        ("newtonMillimetre", 1.0e-3, ("nmm", "newtonmillimetre")),
+        ("newtonCentimetre", 1.0e-2, ("ncm", "newtoncentimetre")),
+        ("poundFoot", 1.3558179483314, ("ftlb-f", "ftlbf", "lbft", "poundfoot")),
+    ]),
+    "FuelEfficiency": ("kilometresPerLitre", [
+        ("kilometresPerLitre", 1.0, ("km/l", "kilometresperlitre", "kilometres per litre")),
+        ("milesPerGallonUS", 0.4251437075, ("mpg", "milespergallon", "miles per gallon")),
+    ]),
+    "FlowRate": ("cubicMetrePerSecond", [
+        ("cubicMetrePerSecond", 1.0, ("m³/s", "m3/s", "cubicmetrepersecond")),
+        ("cubicFeetPerSecond", 0.028316846592, ("ft³/s", "ft3/s", "cuft/s", "cubicfeetpersecond")),
+        ("cubicMetrePerYear", 1.0 / 31536000.0, ("m³/y", "m3/y", "cubicmetreperyear")),
+        ("cubicFeetPerYear", 0.028316846592 / 31536000.0, ("ft³/y", "ft3/y", "cubicfeetperyear")),
+    ]),
+    "PopulationDensity": ("inhabitantsPerSquareKilometre", [
+        ("inhabitantsPerSquareKilometre", 1.0,
+         ("pd/sqkm", "/sqkm", "/km²", "/km2", "per square kilometre",
+          "inhabitants per square kilometre", "inhabitantspersquarekilometre")),
+        ("inhabitantsPerSquareMile", 0.3861021585,
+         ("pd/sqmi", "/sqmi", "per square mile", "inhabitants per square mile",
+          "inhabitantspersquaremile")),
+    ]),
+    "LinearMassDensity": ("gramPerKilometre", [
+        ("gramPerKilometre", 1.0, ("g/km", "gramperkilometre")),
+        ("kilogramPerKilometre", 1.0e3, ("kg/km", "kilogramperkilometre")),
+        ("gramPerMetre", 1.0e3, ("g/m", "grampermetre")),
+    ]),
 }
 
 # abbreviation (lowercase, spaces stripped) -> SubUnit

@@ -83,12 +83,62 @@ def complementary_similarity(csv: ColumnScoreValue,
     return (csv.complement * complementary_score + csv.score_sum) / total
 
 
+# WordNet-tier multipliers (LabelBasedComparer.java:31-39)
+WORDNET_EXACT_MATCH_SCORE = 5.0
+WORDNET_SYNSET_MATCH_SCORE = 2.0
+
+
+def match_strings(header_a: str, header_b: str) -> float:
+    """LabelBasedComparer.matchStrings port (:106-187): n-gram Jaccard of the
+    cleared headers scaled by the WordNet tier —
+
+      equal strings                      × 2.2   (synsetScore + 0.2 — the
+                                                  reference's equal-string
+                                                  branch overwrites the
+                                                  exact-match 5, quirk kept)
+      equal strings, both in the lexicon × 2.0   (their synsets overlap, so
+                                                  the synset branch fires
+                                                  last)
+      synonym-set overlap                × 2.0
+      hypernym/hyponym overlap           × 2.0
+      otherwise                          × 1.0
+
+    The synonym channel uses the bundled lexicon (functions/wordnet.py)
+    loaded once per worker instead of a WordNet dictionary."""
+    from ..functions import wordnet
+
+    a = clear_string(header_a, False)
+    b = clear_string(header_b, False)
+    if len(a) < 3 or len(b) < 3:
+        return 0.0
+    price = 1.0
+    syn_a, syn_b = wordnet.phrase_synonyms(a), wordnet.phrase_synonyms(b)
+    if a == b:
+        price = WORDNET_SYNSET_MATCH_SCORE + 0.2
+    if syn_a and syn_b and (syn_a & syn_b):
+        price = WORDNET_SYNSET_MATCH_SCORE
+    elif wordnet.phrase_related(a) & wordnet.phrase_related(b):
+        price = WORDNET_SYNSET_MATCH_SCORE
+    return jaccard_ngram(a, b) * price if a != b else price
+
+
 def label_similarity(header_a: str, header_b: str) -> float:
+    """0..1 header similarity for the duplicate-column threshold tests:
+    n-gram Jaccard, lifted to 0.85 when the bundled synonym channel links
+    the headers (the WordNet tier of LabelBasedComparer, restoring
+    'country' ≈ 'nation')."""
+    from ..functions import wordnet
+
     a = clear_string(header_a, True)
     b = clear_string(header_b, True)
     if a == b:
         return 1.0
-    return jaccard_ngram(a, b)
+    base = jaccard_ngram(a, b)
+    if wordnet.phrase_synonyms(a) & wordnet.phrase_synonyms(b):
+        return max(base, 0.85)
+    if wordnet.phrase_related(a) & wordnet.phrase_related(b):
+        return max(base, 0.7)
+    return base
 
 
 @dataclass

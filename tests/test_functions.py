@@ -168,6 +168,41 @@ class TestUnits:
         assert units.parse_unit("2 hours").base_value == 7200.0
         assert units.parse_unit("1.5 million").base_value == 1.5e6
 
+    @pytest.mark.parametrize("text,base,want", [
+        # the 11 previously-missing families (reference Convertible/*.txt
+        # surfaces; own public conversion factors)
+        ("14.7psi", "pascal", 14.7 * 6894.757293168),
+        ("2 atm", "pascal", 202650.0),
+        ("1013 hPa", "pascal", 101300.0),      # diverges from the reference's
+        # data-file 0.01 factor — hPa is physically 100 Pa
+        ("50Hz", "hertz", 50.0),
+        ("2.4 GHz", "hertz", 2.4e9),
+        ("3 N·m", "newtonMetre", 3.0),
+        ("12 Nmm", "newtonMetre", 0.012),
+        ("2.5 kgf", "newton", 2.5 * 9.80665),
+        ("10 lbf", "newton", 44.482216152605),
+        ("220 kV", "volt", 220e3),
+        ("1.5 mA", "ampere", 0.0015),
+        ("0.8 g/cc", "kilogramPerCubicMetre", 800.0),
+        ("30 mpg", "kilometresPerLitre", 30 * 0.4251437075),
+        ("5 m3/s", "cubicMetrePerSecond", 5.0),
+        ("200 /sqkm", "inhabitantsPerSquareKilometre", 200.0),
+        ("7 g/km", "gramPerKilometre", 7.0),
+    ])
+    def test_new_families(self, text, base, want):
+        pu = units.parse_unit(text)
+        assert pu is not None, text
+        assert pu.base_unit == base
+        assert pu.base_value == pytest.approx(want)
+
+    def test_new_families_vote_unit_type(self):
+        from mannheimsearchjoinsengine_ray.functions.typeguess import vote_column_type
+
+        assert vote_column_type(["14.7psi", "15psi", "13.2 psi", "1 psi",
+                                 "2 psi"], "pressure", use_unit=True) == "unit"
+        assert vote_column_type(["50Hz", "60 Hz", "45Hz", "50Hz", "60Hz"],
+                                "frequency", use_unit=True) == "unit"
+
 
 class TestTypeGuess:
     def test_reference_main_examples(self):

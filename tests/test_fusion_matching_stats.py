@@ -106,6 +106,31 @@ class TestMatching:
         assert M.label_similarity("totalArea", "total area") == 1.0  # decamel+normalize
         assert M.label_similarity("abc", "xyz") == 0.0
 
+    def test_synonym_channel(self):
+        """WordNet tier (LabelBasedComparer.java:26-51) via the bundled
+        lexicon: 'country' ≈ 'nation' now matches above the 0.8 label
+        threshold; hypernym-linked words get the weaker lift."""
+        from mannheimsearchjoinsengine_ray.config import DEFAULT_CONFIG
+
+        assert M.label_similarity("Country", "Nation") >= DEFAULT_CONFIG.label_threshold
+        assert M.label_similarity("city", "metropolis") >= 0.8
+        assert M.label_similarity("revenue", "income") >= 0.8
+        assert 0.6 <= M.label_similarity("king", "president") < 0.8  # hypernym tier
+        assert M.label_similarity("abc", "xyz") == 0.0  # unknown words unaffected
+
+    def test_match_strings_tiers(self):
+        """matchStrings port quirks: equal strings end at ×2.2 (the
+        equal-string branch overwrites the exact ×5) unless both are in the
+        lexicon, where the synset branch then lands ×2.0."""
+        assert M.match_strings("zzzqx", "zzzqx") == pytest.approx(2.2)
+        assert M.match_strings("country", "country") == pytest.approx(2.0)
+        assert M.match_strings("ab", "country") == 0.0  # <3 chars → 0
+        # synonym multiplier amplifies a nonzero n-gram base
+        base = M.match_strings("organisation", "organization")
+        from mannheimsearchjoinsengine_ray.functions.similarity import jaccard_ngram
+        assert base == pytest.approx(
+            2.0 * jaccard_ngram("organisation", "organization"))
+
     def test_decide_object_matching(self):
         scores = {("c1", "c2"): 0.9, ("c1", "c3"): 0.85, ("c2", "c3"): 0.2}
         types = {"c1": "string", "c2": "string", "c3": "string"}
