@@ -542,6 +542,25 @@ def q_ann_ivf_topk(sf_dir: str):
     return res[["query_id", "neighbor_id", "rank"]]
 
 
+def q_ann_ivf_partitioned(sf_dir: str):
+    """IVF over a PHYSICALLY centroid-partitioned index (build once under
+    /tmp, probes prune at the file listing — only nprobe partitions read).
+    Rows-only oracle; recall + pruning are asserted in tests."""
+    import os as _os
+
+    from ..stages.ann import build_ivf_index, knn_ivf_index
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    index_dir = f"/tmp/graft_ivf_{_os.path.basename(sf_dir.rstrip('/'))}"
+    build_ivf_index(emb, index_dir, n_centroids=16)
+    qdf = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(20))),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    res = knn_ivf_index(index_dir, np.stack(qdf["embedding"].to_numpy()), k=5,
+                        nprobe=4, query_ids=qdf["vec_id"].to_numpy())
+    return res[["query_id", "neighbor_id", "rank"]]
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash-LSH near-dedup over documents → (id, component) for every doc.
     Rows-only oracle."""
@@ -915,6 +934,7 @@ QUERIES: dict = {
     "kg_extract_text": q_kg_extract_text,
     "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "embedding_neardup": q_embedding_neardup,

@@ -6,9 +6,13 @@ batch, exact merge on the driver (k × #batches rows, bounded).
 
 Scale path: IVF — coarse centroids (deterministic k-means on a sample),
 vectors partitioned by nearest centroid; a query probes only the ``nprobe``
-closest centroid partitions.  Partitioning assumption: vectors co-locate by
-centroid id (the Dataset carries the assignment; at real scale the output is
-written partitioned by centroid so probes prune at the read).
+closest centroid partitions.  Two forms:
+  * ``knn_ivf``      — in-memory: the Dataset carries the assignment, every
+    batch is scanned but masked per query (fine when the set is already
+    loaded);
+  * ``build_ivf_index`` + ``knn_ivf_index`` — PHYSICAL: vectors written to
+    ``centroid=<id>/`` Parquet partitions; a probe lists only its nprobe
+    directories, so the pruning happens at the READ (no full scan).
 """
 
 from __future__ import annotations
@@ -101,6 +105,141 @@ def assign_centroids(emb_ds, centroids: np.ndarray,
         return batch.append_column("centroid", pa.array(a))
 
     return emb_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def build_ivf_index(emb_ds, index_dir: str, n_centroids: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    sample_size: int = 2048) -> np.ndarray:
+    """Physically partition the embedding set by nearest centroid:
+    ``index_dir/centroid=<id>/part-*.parquet`` + ``centroids.npy``.  A probe
+    then READS only its nprobe partitions — the pruning happens at the file
+    listing, no full scan (the scale path the in-memory knn_ivf documents).
+    Writes are atomic (tmp dir + rename) and idempotent via a marker."""
+    import json
+    import os
+    import shutil
+
+    done_marker = index_dir.rstrip("/") + ".complete"
+    if os.path.exists(done_marker):
+        return np.load(os.path.join(index_dir, "centroids.npy"))
+    shutil.rmtree(index_dir, ignore_errors=True)
+    tmp = index_dir.rstrip("/") + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+
+    sample = emb_ds.random_sample(
+        min(1.0, sample_size / max(1, emb_ds.count())), seed=42).to_pandas()
+    cents = train_centroids(np.stack(sample[vec_col].to_numpy()), n_centroids)
+    assigned = assign_centroids(emb_ds, cents, id_col, vec_col)
+
+    def write_group(group: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        cid = int(group.column("centroid")[0].as_py())
+        d = os.path.join(tmp, f"centroid={cid:05d}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(group.drop_columns(["centroid"]),
+                       os.path.join(d, "part-0.parquet"))
+        return pa.table({"centroid": [cid], "rows": [group.num_rows]})
+
+    stats = assigned.groupby("centroid").map_groups(
+        write_group, batch_format="pyarrow").take_all()
+    np.save(os.path.join(tmp, "centroids.npy"), cents)
+    with open(os.path.join(tmp, "meta.json"), "w") as fh:
+        json.dump({"partitions": [{"centroid": int(s["centroid"]),
+                                   "rows": int(s["rows"])} for s in stats],
+                   "id_col": id_col, "vec_col": vec_col}, fh)
+    os.replace(tmp, index_dir)
+    with open(done_marker, "w") as fh:
+        fh.write("ok")
+    return cents
+
+
+def ivf_partition_files(index_dir: str, centroid_ids) -> list[str]:
+    """Parquet files of the given centroid partitions (the pruned listing)."""
+    import os
+
+    files: list[str] = []
+    for cid in sorted(set(int(c) for c in centroid_ids)):
+        d = os.path.join(index_dir, f"centroid={cid:05d}")
+        if os.path.isdir(d):
+            files.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith(".parquet"))
+    return files
+
+
+def knn_ivf_index(index_dir: str, query_matrix: np.ndarray, k: int = 5,
+                  nprobe: int = 4, query_ids: np.ndarray | None = None,
+                  stats: dict | None = None) -> pd.DataFrame:
+    """Probe a physically-partitioned IVF index: only the union of the
+    queries' nprobe centroid partitions is read (pass ``stats`` to observe
+    files_read/files_total — the pruning evidence the tests assert)."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cents = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _unit(np.asarray(query_matrix, dtype=np.float32))
+    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]    # (Q, nprobe)
+    files = ivf_partition_files(index_dir, probe.reshape(-1))
+    if stats is not None:
+        all_parts = [d for d in os.listdir(index_dir)
+                     if d.startswith("centroid=")]
+        stats["files_read"] = len(files)
+        stats["files_total"] = len(ivf_partition_files(
+            index_dir, [int(d.split("=")[1]) for d in all_parts]))
+        stats["partitions_read"] = len({os.path.dirname(f) for f in files})
+        stats["partitions_total"] = len(all_parts)
+    if not files:
+        return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine", "rank"])
+
+    assigned = rd.read_parquet(files)
+    # the hive-style centroid=<id>/ path component arrives as a `centroid`
+    # column from read_parquet — each batch gets its per-query mask from it
+    # (a vector may sit in a partition probed by one query but not another)
+    q_ref = ray.put(q)
+    probe_ref = ray.put(probe)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm, pr = ray.get(q_ref), ray.get(probe_ref)
+        ids = np.asarray(batch.column("vec_id").to_pylist())
+        cent = np.asarray([int(c) for c in
+                           batch.column("centroid").to_pylist()])
+        vecs = _unit(np.asarray(batch.column("embedding").to_pylist(),
+                                dtype=np.float32))
+        rows_q, rows_id, rows_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(cent, pr[qi])
+            if not mask.any():
+                continue
+            sims = vecs[mask] @ qm[qi]
+            sub_ids = ids[mask]
+            kk = min(k, len(sims))
+            sel = np.argpartition(-sims, kk - 1)[:kk]
+            rows_q.extend([qi] * kk)
+            rows_id.extend(sub_ids[sel].tolist())
+            rows_s.extend(sims[sel].tolist())
+        return pa.table({
+            "query_idx": pa.array(rows_q, pa.int32()),
+            "neighbor_id": pa.array(rows_id),
+            "cosine": pa.array(rows_s, pa.float64()),
+        })
+
+    partials = assigned.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for qi, g in partials.groupby("query_idx"):
+        g = g.sort_values(["cosine", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(len(g), dtype=np.int32))
+        out.append(g)
+    res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+        columns=["query_idx", "neighbor_id", "cosine", "rank"])
+    if query_ids is not None:
+        res["query_id"] = np.asarray(query_ids)[res["query_idx"].astype(int)]
+    else:
+        res["query_id"] = res["query_idx"]
+    return res[["query_id", "neighbor_id", "cosine", "rank"]]
 
 
 def knn_ivf(emb_ds, query_matrix: np.ndarray, k: int = 5, n_centroids: int = 16,

@@ -637,25 +637,83 @@ def build_canonical_mapping(triples_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     return mapping_from_edges(edges_df, cfg, use_distributed_cc)
 
 
-def apply_canonical_mapping(triples_ds, mapping: dict):
-    """Rewrite subj/obj URIs through the (small, broadcast) sameAs mapping."""
+# a canonical mapping up to this many entries broadcasts via ray.put; larger
+# mappings (not provably driver-sized at 10^12-document scale) go through the
+# co-partitioned join path
+MAPPING_BROADCAST_LIMIT = 5_000_000
+
+
+def apply_canonical_mapping(triples_ds, mapping,
+                            broadcast_limit: int = MAPPING_BROADCAST_LIMIT,
+                            bucket_count: int = 32):
+    """Rewrite subj/obj URIs through the sameAs mapping.
+
+    ``mapping`` is a dict (broadcast when within the explicit guard) or a
+    Dataset with columns (uri, canon).  Above the guard the rewrite runs as
+    co-partitioned bucket joins — the mapping never lands on the driver."""
     import ray
+    import ray.data as rd
 
-    if not mapping:
-        return triples_ds
-    map_ref = ray.put(mapping)
+    if isinstance(mapping, dict):
+        if not mapping:
+            return triples_ds
+        if len(mapping) <= broadcast_limit:
+            map_ref = ray.put(mapping)
 
-    def rewrite(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(map_ref)
-        mapped = df["subj"].map(m)
-        df["subj"] = mapped.where(mapped.notna(), df["subj"])
-        is_uri = df["obj_type"] == "uri"
-        if is_uri.any():
-            mo = df.loc[is_uri, "obj"].map(m)
-            df.loc[is_uri, "obj"] = mo.where(mo.notna(), df.loc[is_uri, "obj"])
-        return df
+            def rewrite(df: pd.DataFrame) -> pd.DataFrame:
+                m = ray.get(map_ref)
+                mapped = df["subj"].map(m)
+                df["subj"] = mapped.where(mapped.notna(), df["subj"])
+                is_uri = df["obj_type"] == "uri"
+                if is_uri.any():
+                    mo = df.loc[is_uri, "obj"].map(m)
+                    df.loc[is_uri, "obj"] = mo.where(mo.notna(),
+                                                     df.loc[is_uri, "obj"])
+                return df
 
-    return triples_ds.map_batches(rewrite, batch_format="pandas")
+            return triples_ds.map_batches(rewrite, batch_format="pandas")
+        mapping = rd.from_pandas(pd.DataFrame(
+            {"uri": list(mapping.keys()), "canon": list(mapping.values())}))
+    return apply_canonical_mapping_join(triples_ds, mapping, bucket_count)
+
+
+def apply_canonical_mapping_join(triples_ds, mapping_ds,
+                                 bucket_count: int = 32):
+    """Join-based URI rewrite: triples ⋈ (uri → canon) co-partitioned on the
+    subject hash, then the uri-typed objects through a second join; literal
+    rows bypass the second shuffle entirely."""
+    from .joins import bucket_join
+
+    mapping_ds = mapping_ds.materialize()
+
+    def fix_subj(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["subj"] = out["canon"].where(out["canon"].notna(), out["subj"])
+        return out.drop(columns=["canon"])
+
+    joined = bucket_join(triples_ds, mapping_ds, left_on="subj",
+                         right_on="uri", bucket_count=bucket_count,
+                         how="left").map_batches(fix_subj,
+                                                 batch_format="pandas")
+    joined = joined.materialize()
+    uri_rows = joined.map_batches(lambda df: df[df["obj_type"] == "uri"],
+                                  batch_format="pandas")
+    lit_rows = joined.map_batches(lambda df: df[df["obj_type"] != "uri"],
+                                  batch_format="pandas")
+
+    def fix_obj(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["obj"] = out["canon"].where(out["canon"].notna(), out["obj"])
+        return out.drop(columns=["canon"])
+
+    fixed_uri = bucket_join(uri_rows, mapping_ds, left_on="obj",
+                            right_on="uri", bucket_count=bucket_count,
+                            how="left").map_batches(fix_obj,
+                                                    batch_format="pandas")
+    cols = ["subj", "pred", "obj", "obj_type", "source_url"]
+    return lit_rows.map_batches(lambda df: df[cols], batch_format="pandas") \
+        .union(fixed_uri.map_batches(lambda df: df[cols],
+                                     batch_format="pandas"))
 
 
 def canonicalize_triples(triples_ds, cfg: PipelineConfig = DEFAULT_CONFIG,

@@ -46,3 +46,31 @@ def test_run_full_merge_path(ray_session, tmp_path):
     phase1 = kg.read_output(out).to_pandas()
     final_df = final.to_pandas()
     assert final_df["subj"].nunique() < phase1["subj"].nunique()
+
+
+def test_apply_mapping_broadcast_vs_join_equivalence(ray_session, tmp_path):
+    """The guard forced both ways: broadcast rewrite and the co-partitioned
+    join rewrite must produce identical triple sets on real pipeline
+    triples with a real (non-identity) mapping."""
+    import pandas as pd
+
+    from mannheimsearchjoinsengine_ray.stages import canonicalize as C
+
+    corpus = str(tmp_path / "corpus_eq")
+    P.write_corpus(corpus, n_pages=40, seed=42, parallelism=2)
+    triples = kg.pages_to_triples(corpus).materialize()
+    cfg = PipelineConfig(fuzzy_min_confidence=0.45, minhash_bands=16)
+    mapping = C.build_canonical_mapping(triples, cfg)
+    assert mapping  # non-identity
+
+    def normed(ds):
+        df = ds.to_pandas()[["subj", "pred", "obj", "obj_type", "source_url"]]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    bcast = normed(C.apply_canonical_mapping(triples, mapping))
+    joined = normed(C.apply_canonical_mapping(triples, mapping,
+                                              broadcast_limit=0,
+                                              bucket_count=4))
+    pd.testing.assert_frame_equal(bcast, joined)
+    # rewritten subjects actually changed
+    assert not set(mapping) & set(joined["subj"])

@@ -141,6 +141,49 @@ def test_ann_ivf_recall(ray_session):
     assert np.mean(recalls) >= 0.8, recalls
 
 
+def test_ivf_physical_partitioning(ray_session, tmp_path):
+    """build_ivf_index writes centroid=<id>/ partitions; knn_ivf_index reads
+    ONLY the union of the queries' nprobe partitions (file-access count) and
+    matches the in-memory equivalent where both scan the same centroids."""
+    import os
+
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 32)).astype(np.float32) * 3
+    vecs = np.concatenate([
+        centers[i % 8] + rng.standard_normal((1, 32)).astype(np.float32)
+        for i in range(400)
+    ])
+    ds = rd.from_arrow(pa.table({"vec_id": list(range(400)),
+                                 "embedding": [v.tolist() for v in vecs]}))
+    index_dir = str(tmp_path / "ivf_index")
+    cents = A.build_ivf_index(ds, index_dir, n_centroids=8)
+    parts = [d for d in os.listdir(index_dir) if d.startswith("centroid=")]
+    assert len(parts) > 1  # physically partitioned
+    # idempotent rebuild (marker)
+    cents2 = A.build_ivf_index(ds, index_dir, n_centroids=8)
+    assert np.allclose(cents, cents2)
+
+    q = vecs[:2]
+    stats: dict = {}
+    res = A.knn_ivf_index(index_dir, q, k=5, nprobe=2,
+                          query_ids=np.arange(2), stats=stats)
+    # pruning evidence: fewer partitions read than exist, bounded by Q*nprobe
+    assert stats["partitions_read"] < stats["partitions_total"]
+    assert stats["partitions_read"] <= 2 * 2
+    assert stats["files_read"] < stats["files_total"]
+
+    # recall vs brute force on clustered data
+    brute = A.knn_brute(ds, q, k=5, query_ids=np.arange(2))
+    recalls = []
+    for qi in range(2):
+        b = set(brute[brute["query_id"] == qi]["neighbor_id"])
+        v = set(res[res["query_id"] == qi]["neighbor_id"])
+        recalls.append(len(b & v) / len(b))
+    assert np.mean(recalls) >= 0.8, recalls
+
+
 class TestMultimodal:
     def test_decode_fake_deterministic(self, ray_session):
         import ray.data as rd
