@@ -95,10 +95,31 @@ class LinkerActor:
         self.max_edit = max_edit
         self.fuzzy = fuzzy
         self.refine_factor = refine_factor
-        # caches the context-INDEPENDENT candidate scan (index postings walk);
-        # the cheap context re-score runs per row so repeated head mentions
-        # still short-circuit the expensive part
-        self._cache: dict[str, list[tuple[int, float]]] = {}
+        # caches, per mention string: the context-independent candidate scan,
+        # its finalized no-context hits, the top-two base-score gap, and
+        # whether any candidate carries indexed attrs.  Per ROW only an
+        # O(context cells) margin check runs — the full context re-score
+        # happens solely when it could flip the top entity (ties within the
+        # attainable bonus), so repeated head mentions stay cached
+        self._cache: dict[str, tuple] = {}
+
+    def _entry_for(self, m: str) -> tuple:
+        entry = self._cache.get(m)
+        if entry is None:
+            scored = self.index.search_scored(m, fuzzy=self.fuzzy,
+                                              max_edit=self.max_edit)
+            base_hits = self.index.finalize(scored, self.top_k)
+            if len(scored) > 1:
+                top2 = sorted(s for _, s in scored)[-2:]
+                gap = top2[1] - top2[0]
+            else:
+                gap = float("inf")
+            has_attrs = any(self.index.entries_attrs[eid]
+                            for eid, _ in scored)
+            entry = (scored, base_hits, gap, has_attrs)
+            if len(self._cache) < 200_000:
+                self._cache[m] = entry
+        return entry
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = {n: [] for n in EDGE_SCHEMA.names}
@@ -108,15 +129,16 @@ class LinkerActor:
         mentions = batch.column("mention").to_pylist()
         contexts = batch.column("context").to_pylist() \
             if "context" in batch.column_names else [None] * len(mentions)
+        factor = self.refine_factor
         for url, ti, ri, m, ctx in zip(urls, tids, rids, mentions, contexts):
-            scored = self._cache.get(m)
-            if scored is None:
-                scored = self.index.search_scored(m, fuzzy=self.fuzzy,
-                                                  max_edit=self.max_edit)
-                if len(self._cache) < 200_000:
-                    self._cache[m] = scored
-            hits = self.index.finalize(scored, self.top_k, context=ctx,
-                                       refine_factor=self.refine_factor)
+            scored, base_hits, gap, has_attrs = self._entry_for(m)
+            hits = base_hits
+            if ctx and factor > 0.0 and has_attrs:
+                n_cells = sum(1 for c in ctx if c and c != "null")
+                if n_cells and gap <= factor * n_cells:
+                    hits = self.index.finalize(scored, self.top_k,
+                                               context=ctx,
+                                               refine_factor=factor)
             for rank, (uri, score, name, etype) in enumerate(hits):
                 out["url"].append(url)
                 out["table_idx"].append(ti)
