@@ -121,28 +121,36 @@ def candidate_pairs(blocked_ds, max_block: int = 50):
     pair; since map_groups pays per-group overhead, singletons are dropped
     FIRST.  The duplicated-band-key set is found WITHOUT a high-cardinality
     Ray aggregate (this version's groupby cost scales with group count):
-    per-batch pandas counts are merged on the driver — partials are bounded
-    by the blocked row count, a few MB at millions of labels.  (Beyond ~10^8
-    distinct band keys the merge itself would need a tree reduce.)"""
+    per-batch pandas counts reduce through a CONSTANT-bucket shuffle, and
+    only the pair-producing keys (bounded by the duplicate count, not the
+    label count) reach the driver for the broadcast semi-filter."""
     import ray
+
+    from ..functions.hashing import hash64
 
     blocked_ds = blocked_ds.materialize()
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["band_idx", "band_hash"], sort=False).size()
-        return g.rename("n").reset_index()
+        out = g.rename("n").reset_index()
+        out["__bucket"] = (
+            (out["band_hash"].to_numpy().astype(np.uint64)
+             ^ hash64(out["band_idx"].astype(str).to_numpy()))
+            % np.uint64(16)).astype("int64")
+        return out
 
-    partials = blocked_ds.map_batches(partial_counts,
-                                      batch_format="pandas").to_pandas()
-    if partials.empty:
+    def hot_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby(["band_idx", "band_hash"], sort=False)["n"].sum()
+        hot = tot[tot >= 2].reset_index()
+        return hot[["band_idx", "band_hash"]]
+
+    hot_df = blocked_ds.map_batches(partial_counts, batch_format="pandas") \
+        .groupby("__bucket").map_groups(hot_in_bucket, batch_format="pandas") \
+        .to_pandas()
+    if hot_df.empty:
         return blocked_ds.limit(0).map_batches(
             lambda g: _pairs_from_group(g, max_block), batch_format="pandas")
-    totals = partials.groupby(["band_idx", "band_hash"], sort=False)["n"].sum()
-    hot = totals[totals >= 2]
-    if hot.empty:
-        return blocked_ds.limit(0).map_batches(
-            lambda g: _pairs_from_group(g, max_block), batch_format="pandas")
-    hot_keys = set(hot.index)
+    hot_keys = set(zip(hot_df["band_idx"], hot_df["band_hash"]))
     hot_ref = ray.put(hot_keys)
 
     def semi(df: pd.DataFrame) -> pd.DataFrame:

@@ -129,47 +129,47 @@ class LabelIndex:
         if not files:
             raise FileNotFoundError(f"no index shards under {index_dir}")
 
-        tok_uris: dict[str, list[int]] = defaultdict(list)
-        self.entries_uri: list[str] = []
-        self.entries_norm: list[str] = []
-        self.entries_ntok: list[int] = []
-        self.entries_primary: list[bool] = []
-        self.entries_type: list[str] = []
+        # Vectorized ingestion (pandas factorize/groupby — no per-posting
+        # Python loop; matters at 10^6+ entities): entry identity is
+        # (uri, name_norm); postings become token → sorted entry-id arrays.
+        import pandas as pd
+
+        tables = [pq.read_table(f) for f in files]
+        t = pa.concat_tables(tables, promote_options="default") \
+            if len(tables) > 1 else tables[0]
+        df = pd.DataFrame({
+            "token": t.column("token").to_pandas(),
+            "uri": t.column("entity_uri").to_pandas(),
+            "norm": t.column("name_norm").to_pandas(),
+            "ntok": t.column("n_tokens").to_pandas(),
+            "prim": t.column("is_primary").to_pandas(),
+            "etype": t.column("entity_type").to_pandas()
+            if "entity_type" in t.column_names else "",
+            "anorm": t.column("attrs_norm").to_pandas()
+            if "attrs_norm" in t.column_names else "",
+        })
+        eids, _ = pd.factorize(df["uri"] + "\x00" + df["norm"], sort=False)
+        df["eid"] = eids
+        firsts = df.drop_duplicates("eid").sort_values("eid")
+        self.entries_uri: list[str] = firsts["uri"].tolist()
+        self.entries_norm: list[str] = firsts["norm"].tolist()
+        self.entries_ntok = firsts["ntok"].to_numpy()
+        self.entries_primary: list[bool] = firsts["prim"].tolist()
+        self.entries_type: list[str] = firsts["etype"].astype(str).tolist()
         # per entry: tuple of frozenset token sets, one per sibling attribute
         # (refine-attrs context, IndexManager.java:677-746)
-        self.entries_attrs: list[tuple[frozenset, ...]] = []
-        entry_ids: dict[tuple[str, str], int] = {}
-
-        for f in files:
-            t = pq.read_table(f)
-            has_type = "entity_type" in t.column_names
-            type_col = t.column("entity_type").to_pylist() if has_type \
-                else [""] * t.num_rows
-            attrs_col = t.column("attrs_norm").to_pylist() \
-                if "attrs_norm" in t.column_names else [""] * t.num_rows
-            for tok, uri, norm, ntok, prim, etype, anorm in zip(
-                t.column("token").to_pylist(), t.column("entity_uri").to_pylist(),
-                t.column("name_norm").to_pylist(), t.column("n_tokens").to_pylist(),
-                t.column("is_primary").to_pylist(), type_col, attrs_col,
-            ):
-                key = (uri, norm)
-                eid = entry_ids.get(key)
-                if eid is None:
-                    eid = len(self.entries_uri)
-                    entry_ids[key] = eid
-                    self.entries_uri.append(uri)
-                    self.entries_norm.append(norm)
-                    self.entries_ntok.append(ntok)
-                    self.entries_primary.append(prim)
-                    self.entries_type.append(etype)
-                    self.entries_attrs.append(tuple(
-                        frozenset(a.split()) for a in anorm.split(_ATTR_SEP)
-                        if a) if anorm else ())
-                tok_uris[tok].append(eid)
+        self.entries_attrs: list[tuple[frozenset, ...]] = [
+            tuple(frozenset(a.split()) for a in anorm.split(_ATTR_SEP) if a)
+            if anorm else ()
+            for anorm in firsts["anorm"].astype(str).tolist()
+        ]
+        self._uri_to_first_eid: dict[str, int] = {}
+        for i, u in enumerate(self.entries_uri):
+            self._uri_to_first_eid.setdefault(u, i)
 
         self.postings: dict[str, np.ndarray] = {
-            t: np.array(sorted(set(ids)), dtype=np.int64)
-            for t, ids in tok_uris.items()
+            tok: np.unique(g.to_numpy()).astype(np.int64)
+            for tok, g in df.groupby("token", sort=False)["eid"]
         }
         n_entries = max(1, len(self.entries_uri))
         self.idf: dict[str, float] = {
@@ -180,7 +180,7 @@ class LabelIndex:
         self._fuzzy_buckets: dict[tuple[str, int], list[str]] = defaultdict(list)
         for t in self.postings:
             self._fuzzy_buckets[(t[0], len(t))].append(t)
-        self.entries_ntok = np.array(self.entries_ntok, dtype=np.int32)
+        self.entries_ntok = np.asarray(self.entries_ntok, dtype=np.int32)
 
     def fuzzy_expand(self, token: str, max_edit: int = 1) -> list[str]:
         """Vocabulary tokens within edit distance (candidates bucketed by
@@ -194,11 +194,10 @@ class LabelIndex:
         return out
 
     def entity_type_of(self, uri: str) -> str:
-        """entity_type of the first entry with this uri ('' if unknown)."""
-        try:
-            return self.entries_type[self.entries_uri.index(uri)]
-        except ValueError:
-            return ""
+        """entity_type of the first entry with this uri ('' if unknown) —
+        O(1) dict lookup (the list.index scan was a 10^6-entity trap)."""
+        eid = self._uri_to_first_eid.get(uri)
+        return self.entries_type[eid] if eid is not None else ""
 
     def search_scored(self, mention: str, fuzzy: bool = True,
                       max_edit: int = 1) -> list[tuple[int, float]]:

@@ -242,8 +242,24 @@ class TestDomains:
         assert domains.get_sub_domain("http://example.com") == ""
 
     def test_compression_roundtrip(self):
-        for u in ["http://www.example.com/page1.html", "https://x.org/index~tilde"]:
+        for u in ["http://www.example.com/page1.html",
+                  "https://x.org/index~tilde",
+                  "http://www.wikipedia.org/wiki/Foo",
+                  "https://www.github.com/a/b",
+                  "http://google.com/search?q=1",
+                  "https://sub.bbc.co.uk/news/x",
+                  "http://unknown-site.xyz/page1"]:
             assert domains.uncompress_url(domains.compress_url(u)) == u
+
+    def test_compression_reduces_popular_plds(self):
+        """The popular-PLD reduction map (reductionMap analog,
+        DomainUtils.java:187-1196; own domain list) actually substitutes."""
+        assert len(domains.reduction_map) >= 300
+        c = domains.compress_url("http://google.com/a")
+        assert c.startswith("#") and "google.com" not in c
+        # scheme prefix quirks kept: https→s:, leading www→w:
+        assert domains.compress_url("https://www.example.com/x") \
+            .startswith("s:w:")
 
 
 class TestSimilarity:
