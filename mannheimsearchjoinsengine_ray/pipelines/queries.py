@@ -230,7 +230,9 @@ def q_events_last_order(sf_dir: str):
     out = asof_join(events, orders, left_on="user_id", right_on="o_custkey",
                     left_ts="ts", right_ts="o_orderdate")
     df = out.to_pandas()[["event_id", "user_id", "o_orderkey"]]
-    return df.astype({"o_orderkey": "int64"})
+    # bucket-join column filling leaves pass-through columns object-typed
+    return df.astype({"event_id": "int64", "user_id": "int64",
+                      "o_orderkey": "int64"})
 
 
 def q_events_hourly_window(sf_dir: str):
@@ -251,7 +253,8 @@ def q_events_hourly_window(sf_dir: str):
     out = two_phase_agg(ds.map_batches(add_window, batch_format="pyarrow"),
                         ["event_type", "window_start"],
                         {"n": (None, "count"), "sum_value": ("value", "sum")})
-    return _round_df(out.to_pandas(), {"sum_value": 2})
+    df = _round_df(out.to_pandas(), {"sum_value": 2})
+    return df.astype({"window_start": "datetime64[us]"})
 
 
 def q_user_sessions(sf_dir: str):
@@ -366,7 +369,9 @@ def q_orders_by_month(sf_dir: str):
 
     out = ds.map_batches(add_month, batch_format="pyarrow") \
         .groupby(["month", "o_orderpriority"]).aggregate(Count(alias_name="n_orders"))
-    return out.to_pandas()
+    df = out.to_pandas()
+    # DuckDB date_trunc lands as datetime64[us]; match it exactly
+    return df.astype({"month": "datetime64[us]"})
 
 
 def q_part_price_stats(sf_dir: str):
