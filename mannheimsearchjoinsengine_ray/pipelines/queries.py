@@ -729,6 +729,22 @@ def q_kg_refine_link(sf_dir: str):
                 "correct"]].sort_values("row_idx").reset_index(drop=True)
 
 
+def q_kg_infogather_augment(sf_dir: str):
+    """InfoGather entity augmentation (QueryProcessor.AugmentTable
+    :51-89): query keys = 30 gazetteer entity labels, attribute 'founded';
+    seeds via key-overlap DMA, TSP via personalized PageRank on the
+    virtual-table graph, TSP-weighted value vote.  Rows-only oracle."""
+    from .kg import extract_tables_ds, read_pages
+    from ..sources.pages import entity_label
+    from ..stages.infogather import augment_by_attribute
+
+    pages = read_pages(corpus_for(sf_dir), columns=["url", "html"])
+    tables = extract_tables_ds(pages)
+    query_keys = [entity_label(i) for i in range(30)]
+    out = augment_by_attribute(tables, query_keys, "founded")
+    return out
+
+
 def q_kg_values_per_subject(sf_dir: str):
     """Distribution of values per key (DistributionOfValuesPerKey analog)
     over the KG triples.  Rows-only oracle."""
@@ -947,6 +963,7 @@ QUERIES: dict = {
     "value_histogram": q_value_histogram,
     "kg_fused_table": q_kg_fused_table,
     "kg_refine_link": q_kg_refine_link,
+    "kg_infogather_augment": q_kg_infogather_augment,
     "kg_values_per_subject": q_kg_values_per_subject,
     "kg_header_frequencies": q_kg_header_frequencies,
     "kg_link_columns": q_kg_link_columns,
