@@ -1,6 +1,7 @@
 """CLI entry point (SearchJoinMain analog, SJ/main/SearchJoinMain.java:27-104).
 
-Functions: index | kg | text | searchjoin | stats — each a thin wrapper over
+Functions: index | kg | text | searchjoin | stats | infogather — each a thin
+wrapper over
 the pipeline modules, owning its own Ray session (the only place outside
 bench.py/tests allowed to call ray.init).
 
@@ -40,11 +41,13 @@ def _init_ray(num_cpus: int | None) -> bool:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="mannheimsearchjoinsengine_ray")
     ap.add_argument("function",
-                    choices=["index", "kg", "text", "searchjoin", "stats"])
+                    choices=["index", "kg", "text", "searchjoin", "stats",
+                             "infogather"])
     ap.add_argument("--pages", help="pages parquet dir/file")
     ap.add_argument("--out", help="output directory")
-    ap.add_argument("--query", help="query CSV for searchjoin")
+    ap.add_argument("--query", help="query CSV for searchjoin/infogather")
     ap.add_argument("--index", help="label index dir")
+    ap.add_argument("--attribute", help="attribute name for infogather")
     ap.add_argument("--entities", type=int, default=500)
     ap.add_argument("--num-cpus", type=int, default=None)
     ap.add_argument("--shards", type=int, default=None)
@@ -104,6 +107,21 @@ def main(argv: list[str] | None = None) -> int:
             write_csv_export(pivot_fused(long),
                              os.path.join(args.out, "AugmentedTable.csv"))
             print(json.dumps({"rows": len(long), "out": args.out}))
+        elif args.function == "infogather":
+            from .pipelines.kg import extract_tables_ds, read_pages
+            from .sources.io import read_query_table, write_csv_export
+            from .stages.infogather import augment_by_attribute
+
+            qt = read_query_table(args.query)
+            if qt is None or not qt.has_key:
+                print("query table has no identifiable key", file=sys.stderr)
+                return 2
+            pages = read_pages(args.pages, columns=["url", "html"])
+            tables = extract_tables_ds(pages)
+            out = augment_by_attribute(tables, qt.raw_keys, args.attribute)
+            os.makedirs(args.out, exist_ok=True)
+            write_csv_export(out, os.path.join(args.out, "InfoGatherAugmented.csv"))
+            print(json.dumps({"rows": len(out), "out": args.out}))
         elif args.function == "stats":
             from .pipelines.kg import extract_tables_ds, read_pages
             from .stages.stats import header_frequencies

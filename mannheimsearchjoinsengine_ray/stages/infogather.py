@@ -352,7 +352,7 @@ def seed_tables_dma(tables_ds, query_keys: list[str],
 
 
 def augment_by_attribute(tables_ds, query_keys: list[str],
-                         attribute_name: str,
+                         attribute_name: str | None,
                          cfg: PipelineConfig = DEFAULT_CONFIG,
                          alpha: float = 0.15, iters: int = 15,
                          max_seeds: int = 50) -> pd.DataFrame:
