@@ -607,14 +607,30 @@ def q_embedding_neardup(sf_dir: str):
 
 
 def q_multimodal_decode(sf_dir: str):
-    """Multimodal plumbing: fake media batch through the decode actor pool.
-    Rows-only oracle (codec stubbed — no image libs in this container)."""
+    """Multimodal REAL decode: deterministic PNG/PPM payloads through the
+    decode actor pool — stdlib codecs (functions/codecs.py), per-image
+    channel-stat features.  Rows-only oracle."""
     import ray.data as rd
 
     from ..stages.multimodal import decode_features, make_fake_media
 
     media = rd.from_arrow(make_fake_media(64, seed=42))
-    return decode_features(media, deterministic_fake=True).to_pandas()
+    return decode_features(media, deterministic_fake=False).to_pandas()
+
+
+def q_multimodal_audio(sf_dir: str):
+    """Audio features over PCM WAV payloads (stdlib wave + numpy rfft):
+    duration, RMS, zero crossings, spectral band energies.  Rows-only."""
+    import ray.data as rd
+
+    from ..stages.multimodal import audio_features, make_fake_media
+
+    media = rd.from_arrow(make_fake_media(64, media_type="audio", seed=42))
+    df = audio_features(media).to_pandas()
+    df["rms"] = df["rms"].round(6)
+    df["band_energy"] = df["band_energy"].map(
+        lambda b: [round(x, 4) for x in b])
+    return df
 
 
 def q_value_histogram(sf_dir: str):
@@ -960,6 +976,7 @@ QUERIES: dict = {
     "simhash_dedup": q_simhash_dedup,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_audio": q_multimodal_audio,
     "value_histogram": q_value_histogram,
     "kg_fused_table": q_kg_fused_table,
     "kg_refine_link": q_kg_refine_link,
