@@ -138,11 +138,21 @@ def table_graph_edges(tables_ds, max_per_key: int = 20,
         return out.groupby(["src", "dst"], sort=False).size() \
             .rename("weight").reset_index()
 
-    from .aggregates import two_phase_agg
-
     raw = tables_ds.map_batches(postings, batch_format="pyarrow") \
         .groupby("__bucket").map_groups(pairs, batch_format="pandas")
-    return two_phase_agg(raw, ["src", "dst"], {"weight": ("weight", "sum")})
+
+    # (src, dst) is HIGH-cardinality — never a bare Ray groupby on it
+    # (per-group overhead); sum weights inside constant-count buckets
+    def edge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = (hash64((df["src"] + "\0" + df["dst"]).to_numpy())
+                          % np.uint64(num_buckets)).astype("int64")
+        return df
+
+    return raw.map_batches(edge_bucket, batch_format="pandas") \
+        .groupby("__bucket").map_groups(
+            lambda g: g.groupby(["src", "dst"], sort=False)["weight"].sum()
+            .reset_index(), batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
