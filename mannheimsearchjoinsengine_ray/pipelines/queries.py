@@ -725,12 +725,15 @@ def q_kg_refine_link(sf_dir: str):
             rows["mention"].append(label)
             rows["context"].append(ctx)
             rows["expected_uri"].append(exp)
+    from ..stages.link import CONTEXT_SEP
+
     mentions = pa.table({
         "url": pa.array(rows["url"], pa.string()),
         "table_idx": pa.array(rows["table_idx"], pa.int32()),
         "row_idx": pa.array(rows["row_idx"], pa.int32()),
         "mention": pa.array(rows["mention"], pa.string()),
-        "context": pa.array(rows["context"], pa.list_(pa.string())),
+        "context": pa.array([CONTEXT_SEP.join(c) for c in rows["context"]],
+                            pa.string()),
     })
     from ..config import PipelineConfig
 

@@ -34,10 +34,12 @@ EDGE_SCHEMA = pa.schema([
 ])
 
 
+CONTEXT_SEP = "\x1f"
+
 MENTION_SCHEMA = pa.schema([
     ("url", pa.string()), ("table_idx", pa.int32()),
     ("row_idx", pa.int32()), ("mention", pa.string()),
-    ("context", pa.list_(pa.string()))])
+    ("context", pa.string())])   # '\x1f'-joined sibling cells (see below)
 
 _MAX_CONTEXT_CELLS = 8
 
@@ -46,7 +48,12 @@ def mentions_from_tables_batch(batch: pa.Table) -> pa.Table:
     """Table records (stages.extract) → one mention per key cell, carrying the
     row's sibling cells as ``context`` (the refine attributes the reference
     searches per candidate, SearchJoin.java key handling +
-    IndexManager.findRefineAttrsMatches :677-746)."""
+    IndexManager.findRefineAttrsMatches :677-746).
+
+    ``context`` travels as ONE '\\x1f'-joined string, not a list column —
+    mentions are ~one per corpus row, so the per-row Arrow list overhead and
+    the per-cell Python appends were measurable at 64k pages; the linker
+    splits the string only for the rare rows whose margin gate passes."""
     urls = batch.column("url").to_pylist()
     tids = batch.column("table_idx").to_pylist()
     key_idx = batch.column("key_idx").to_pylist()
@@ -66,14 +73,13 @@ def mentions_from_tables_batch(batch: pa.Table) -> pa.Table:
                 out["table_idx"].append(ti)
                 out["row_idx"].append(ri)
                 out["mention"].append(k)
-                ctx: list[str] = []
                 if rows is not None and ri < len(rows):
-                    for ci, cell in enumerate(rows[ri]):
-                        if ci == ki or not cell or cell == "null":
-                            continue
-                        ctx.append(cell)
-                        if len(ctx) >= _MAX_CONTEXT_CELLS:
-                            break
+                    cells = rows[ri]
+                    ctx = CONTEXT_SEP.join(
+                        c for ci, c in enumerate(cells[:_MAX_CONTEXT_CELLS + 1])
+                        if ci != ki and c and c != "null")
+                else:
+                    ctx = ""
                 out["context"].append(ctx)
     return pa.Table.from_pydict(out, schema=MENTION_SCHEMA)
 
@@ -134,10 +140,14 @@ class LinkerActor:
             scored, base_hits, gap, has_attrs = self._entry_for(m)
             hits = base_hits
             if ctx and factor > 0.0 and has_attrs:
-                n_cells = sum(1 for c in ctx if c and c != "null")
+                # ctx is the '\x1f'-joined sibling cells; count w/o splitting
+                n_cells = ctx.count(CONTEXT_SEP) + 1 if isinstance(ctx, str) \
+                    else len(ctx)
                 if n_cells and gap <= factor * n_cells:
+                    cells = ctx.split(CONTEXT_SEP) if isinstance(ctx, str) \
+                        else list(ctx)
                     hits = self.index.finalize(scored, self.top_k,
-                                               context=ctx,
+                                               context=cells,
                                                refine_factor=factor)
             for rank, (uri, score, name, etype) in enumerate(hits):
                 out["url"].append(url)

@@ -151,7 +151,8 @@ class TestRefineAttrs:
             "table_idx": pa.array(rows["table_idx"], pa.int32()),
             "row_idx": pa.array(rows["row_idx"], pa.int32()),
             "mention": pa.array(rows["mention"]),
-            "context": pa.array(rows["context"], pa.list_(pa.string())),
+            "context": pa.array([L.CONTEXT_SEP.join(c)
+                                 for c in rows["context"]], pa.string()),
         })
         cfg = PipelineConfig(linker_concurrency=1)
         top1 = L.top1_links(L.link_mentions(rd.from_arrow(mentions),
@@ -173,7 +174,7 @@ class TestRefineAttrs:
         out = L.mentions_from_tables_batch(tables)
         assert out.num_rows == 1
         ctx = out.column("context").to_pylist()[0]
-        assert ctx == ["north region"]  # null cells dropped, key excluded
+        assert ctx == "north region"  # null cells dropped, key excluded
 
 
 def test_edge_aggregation(ray_session, index_dir):
