@@ -113,3 +113,96 @@ def write_csv_export(ds, path: str) -> None:
     triple tables are already long-format)."""
     df = ds.to_pandas() if hasattr(ds, "to_pandas") else ds
     df.to_csv(path, index=False)
+
+
+def read_tar_tables(paths: list[str] | str,
+                    cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Tar/tar.gz archives of CSV tables → Dataset of processed table
+    records (ParallelIndexer.extractTarFile analog,
+    SJ/index/ParallelIndexer.java:358-397 — the reference explodes archives
+    to disk first; here members stream straight out of the archive bytes
+    inside the task, no temp files).  One task per archive file, so read
+    parallelism = archive count."""
+    import tarfile
+
+    import ray.data as rd
+
+    from ..stages.extract import _TABLE_RECORD_SCHEMA
+
+    def parse(batch: dict) -> pa.Table:
+        out = {n: [] for n in _TABLE_RECORD_SCHEMA.names}
+        for path, data in zip(batch["path"], batch["bytes"]):
+            with tarfile.open(fileobj=io.BytesIO(bytes(data))) as tf:
+                for member in tf.getmembers():
+                    if not member.isfile():
+                        continue
+                    name = member.name
+                    if not name.endswith((".csv", ".csv.gz")):
+                        continue
+                    raw_bytes = tf.extractfile(member).read()
+                    if name.endswith(".gz"):
+                        raw_bytes = gzip.decompress(raw_bytes)
+                    text = raw_bytes.decode("utf-8", "replace")
+                    rows = [row for row in csv.reader(io.StringIO(text))]
+                    if not rows:
+                        continue
+                    pt = process_table(RawTable(headers=rows[0],
+                                                rows=rows[1:]), cfg)
+                    if pt is None:
+                        continue
+                    out["url"].append(f"{os.path.basename(path)}!{name}")
+                    out["table_idx"].append(0)
+                    out["n_rows"].append(len(pt.rows))
+                    out["headers"].append(pt.headers)
+                    out["col_types"].append(pt.col_types)
+                    out["key_idx"].append(pt.key_idx)
+                    out["has_key"].append(pt.has_key)
+                    out["rows"].append(pt.rows)
+                    out["raw_keys"].append(pt.raw_keys)
+        return pa.Table.from_pydict(out, schema=_TABLE_RECORD_SCHEMA)
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+    return ds.map_batches(parse, batch_format="numpy")
+
+
+def write_html_report(df, path: str, title: str = "Table report") -> None:
+    """CSV→HTML report (CSV2HTMLconvertor.generateHTMLTables analog,
+    SJ/IO/CSV2HTMLconvertor.java:44-129 at reduced breadth): one
+    self-contained HTML file with human-readable headers
+    (normalize.get_human_header) and a stats line (rows/cols), striped
+    table styling inline instead of the reference's Bootstrap classes."""
+    import html as _html
+
+    from ..functions.normalize import (
+        capitalize_words,
+        clean_web_header,
+        decamel,
+        get_human_header,
+    )
+
+    if hasattr(df, "to_pandas"):
+        df = df.to_pandas()
+    heads = [capitalize_words(decamel(
+        get_human_header(clean_web_header(str(c))))) or str(c)
+        for c in df.columns]
+    parts = [
+        "<!DOCTYPE html><html><head><meta charset=\"utf-8\"><title>",
+        _html.escape(title), "</title><style>",
+        "table{border-collapse:collapse;width:100%}",
+        "th,td{border:1px solid #ccc;padding:4px 8px;text-align:left}",
+        "tr:nth-child(even){background:#f6f6f6}",
+        "</style></head><body>",
+        f"<p>Rows: {len(df)} &middot; Cols: {len(df.columns)}</p>",
+        "<table id=\"table1\"><thead><tr>",
+    ]
+    parts.extend(f"<th>{_html.escape(h)}</th>" for h in heads)
+    parts.append("</tr></thead><tbody>")
+    for _, row in df.iterrows():
+        parts.append("<tr>")
+        parts.extend(f"<td>{_html.escape(str(v))}</td>" for v in row)
+        parts.append("</tr>")
+    parts.append("</tbody></table></body></html>")
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write("".join(parts))
+    os.replace(tmp, path)

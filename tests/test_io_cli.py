@@ -73,3 +73,43 @@ def test_cli_help_and_badquery(tmp_path, query_csv):
 
     with pytest.raises(SystemExit):
         cli.main(["bogus"])
+
+
+def test_read_tar_tables(ray_session, tmp_path):
+    """Tar archives of CSVs stream into table records without temp files."""
+    import gzip
+    import io as _io
+    import tarfile
+
+    from mannheimsearchjoinsengine_ray.sources.io import read_tar_tables
+
+    csv_text = "name,population,founded\n" + "\n".join(
+        f"city {i},{1000 + i},19{50 + i}" for i in range(6))
+    tar_path = str(tmp_path / "tables.tar.gz")
+    with tarfile.open(tar_path, "w:gz") as tf:
+        for n, payload in [("a.csv", csv_text.encode()),
+                           ("b.csv.gz", gzip.compress(csv_text.encode())),
+                           ("skip.txt", b"not a table")]:
+            ti = tarfile.TarInfo(n)
+            ti.size = len(payload)
+            tf.addfile(ti, _io.BytesIO(payload))
+    recs = read_tar_tables([tar_path]).to_pandas()
+    assert len(recs) == 2  # a.csv + b.csv.gz, txt skipped
+    assert all(u.startswith("tables.tar.gz!") for u in recs["url"])
+    assert (recs["has_key"]).all()
+    assert recs["n_rows"].tolist() == [6, 6]
+
+
+def test_write_html_report(tmp_path):
+    import pandas as pd
+
+    from mannheimsearchjoinsengine_ray.sources.io import write_html_report
+
+    df = pd.DataFrame({"cityName": ["a<b", "x"], "totalArea": [1, 2]})
+    out = str(tmp_path / "report.html")
+    write_html_report(df, out)
+    html = open(out, encoding="utf-8").read()
+    assert "<table id=\"table1\">" in html
+    assert "a&lt;b" in html            # escaping
+    assert "City Name" in html         # human header (decamel + capitalize)
+    assert "Rows: 2" in html
