@@ -3,6 +3,7 @@ determinism, sketch stability."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -89,3 +90,67 @@ def test_minhash_stable_and_permutation_invariant(tokens):
     h1 = mh.signature(hashing.hash64(tokens))
     h2 = mh.signature(hashing.hash64(list(reversed(tokens))))
     assert (h1 == h2).all()  # set semantics: order must not matter
+
+
+# --- round-2 components: codecs, bloom, units ---
+
+@given(st.integers(1, 24), st.integers(1, 24), st.sampled_from([1, 3, 4]),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_any_shape(w, h, ch, seed):
+    import numpy as np
+
+    from mannheimsearchjoinsengine_ray.functions import codecs
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, ch) if ch > 1 else (h, w),
+                       dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(img)), img)
+
+
+@given(st.integers(1, 2000), st.integers(0, 2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_wav_roundtrip_tolerance(n, seed):
+    import numpy as np
+
+    from mannheimsearchjoinsengine_ray.functions import codecs
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1, 1, n).astype(np.float32)
+    y, rate = codecs.decode_wav(codecs.encode_wav(x, 8000))
+    assert rate == 8000 and y.shape == (n, 1)
+    assert np.abs(y[:, 0] - x).max() < 2e-4  # 16-bit quantization bound
+
+
+@given(st.lists(st.integers(0, 10**12), min_size=0, max_size=500))
+@settings(max_examples=25, deadline=None)
+def test_bloom_never_false_negative(keys):
+    import numpy as np
+
+    from mannheimsearchjoinsengine_ray.functions.hashing import (
+        bloom_contains,
+        bloom_partial,
+    )
+
+    arr = np.array(keys, dtype=np.int64)
+    half = len(arr) // 2
+    bloom = bloom_partial(arr[:half], num_bits=1 << 16) | \
+        bloom_partial(arr[half:], num_bits=1 << 16)
+    assert bloom_contains(bloom, arr).all() if len(arr) else True
+
+
+@given(st.floats(min_value=-1e6, max_value=1e6,
+                 allow_nan=False, allow_infinity=False),
+       st.sampled_from(["psi", "hz", "kv", "g/cc", "mpg", "kgf", "nm",
+                        "km", "kg", "sqkm"]))
+@settings(max_examples=60, deadline=None)
+def test_unit_parse_scales_linearly(value, abbr):
+    from mannheimsearchjoinsengine_ray.functions.units import parse_unit
+
+    one = parse_unit(f"1{abbr}")
+    assert one is not None
+    got = parse_unit(f"{abs(value):.4f}{abbr}")
+    assert got is not None
+    assert got.base_unit == one.base_unit
+    assert got.base_value == pytest.approx(abs(round(value, 4)) *
+                                           one.base_value, rel=1e-9, abs=1e-9)
