@@ -395,6 +395,90 @@ def q_distinct_brands(sf_dir: str):
     return pd.DataFrame({"p_brand": brands})
 
 
+def q_top_orders_per_segment(sf_dir: str):
+    """Windowed top-k per group (ROW_NUMBER() OVER (PARTITION BY …) analog,
+    the reference's per-table rank sort): top-3 orders by price per market
+    segment.  Scale: bucket join on custkey, then segments are a CONSTANT
+    group count — per-segment vectorized sort+head inside one shuffle."""
+    from ..stages.joins import bucket_join
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = bucket_join(orders, cust, left_on="o_custkey",
+                         right_on="c_custkey", bucket_count=16)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True]).head(3)
+        g = g.reset_index(drop=True)
+        g["rk"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g[["c_mktsegment", "rk", "o_orderkey", "o_totalprice"]]
+
+    out = joined.groupby("c_mktsegment").map_groups(topk, batch_format="pandas") \
+        .to_pandas()
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out.astype({"o_orderkey": "int64"})
+
+
+def q_supplier_balance_by_nation(sf_dir: str):
+    """Broadcast dimension join + grouped aggregate: supplier account
+    balances per nation (the small side ships once via ray.put)."""
+    import ray
+
+    from ..stages.aggregates import two_phase_agg
+
+    nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(lookup_ref)
+        df["n_name"] = df["s_nationkey"].map(m)
+        return df[["n_name", "s_acctbal"]]
+
+    sup = _rp(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]) \
+        .map_batches(attach, batch_format="pandas")
+    out = two_phase_agg(sup, ["n_name"], {
+        "n_suppliers": (None, "count"),
+        "total_balance": ("s_acctbal", "sum"),
+    })
+    return _round_df(out.to_pandas(), {"total_balance": 2})
+
+
+def q_events_weekday_profile(sf_dir: str):
+    """Temporal bucketing: ISO weekday × event_type counts and mean value
+    (vectorized pyarrow day_of_week; DuckDB isodow)."""
+    from ..stages.aggregates import two_phase_agg
+
+    ds = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def add_dow(t: pa.Table) -> pa.Table:
+        # pyarrow day_of_week: 0=Monday; ISO dow is 1=Monday
+        dow = pc.add(pc.day_of_week(t["ts"]), pa.scalar(1, pa.int64()))
+        return pa.table({"event_type": t["event_type"],
+                         "isodow": pc.cast(dow, pa.int64()),
+                         "value": t["value"]})
+
+    out = two_phase_agg(ds.map_batches(add_dow, batch_format="pyarrow"),
+                        ["event_type", "isodow"],
+                        {"n": (None, "count"), "avg_value": ("value", "mean")})
+    return _round_df(out.to_pandas(), {"avg_value": 4})
+
+
+def q_frequent_customers(sf_dir: str):
+    """Grouped aggregate + HAVING: customers with >= 8 orders (two-phase
+    partials; the HAVING filter runs on the small aggregate)."""
+    from ..stages.aggregates import two_phase_agg
+
+    agg = two_phase_agg(_rp(sf_dir, "orders", ["o_custkey", "o_totalprice"]),
+                        ["o_custkey"], {"n_orders": (None, "count"),
+                                        "total_spent": ("o_totalprice", "sum")})
+    df = agg.to_pandas()
+    df = df[df["n_orders"] >= 8]
+    df["total_spent"] = df["total_spent"].round(2)
+    return df.astype({"o_custkey": "int64", "n_orders": "int64"}) \
+        .sort_values("o_custkey").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # text / training-data operators over `documents`
 # ---------------------------------------------------------------------------
@@ -915,6 +999,33 @@ ORACLE_SQL: dict[str, str] = {
         FROM part GROUP BY p_type
     """,
     "distinct_brands": "SELECT DISTINCT p_brand FROM part",
+    "top_orders_per_segment": """
+        SELECT c_mktsegment,
+               CAST(row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS BIGINT) AS rk,
+               o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        QUALIFY rk <= 3
+    """,
+    "supplier_balance_by_nation": """
+        SELECT n_name, COUNT(*) AS n_suppliers,
+               ROUND(SUM(s_acctbal), 2) AS total_balance
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "events_weekday_profile": """
+        SELECT event_type, CAST(isodow(ts) AS BIGINT) AS isodow,
+               COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+        FROM events GROUP BY event_type, isodow(ts)
+    """,
+    "frequent_customers": """
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_spent
+        FROM orders GROUP BY o_custkey
+        HAVING COUNT(*) >= 8
+    """,
     "value_histogram": """
         SELECT CAST(floor(value / 100.0) AS BIGINT) AS bucket, COUNT(*) AS n
         FROM events GROUP BY 1
@@ -964,6 +1075,10 @@ QUERIES: dict = {
     "shipping_priority": q_shipping_priority,
     "part_price_stats": q_part_price_stats,
     "distinct_brands": q_distinct_brands,
+    "top_orders_per_segment": q_top_orders_per_segment,
+    "supplier_balance_by_nation": q_supplier_balance_by_nation,
+    "events_weekday_profile": q_events_weekday_profile,
+    "frequent_customers": q_frequent_customers,
     "token_counts": q_token_counts,
     "exact_dedup": q_exact_dedup,
     "quality_filter": q_quality_filter,
