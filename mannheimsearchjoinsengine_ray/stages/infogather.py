@@ -371,15 +371,32 @@ def augment_by_attribute(tables_ds, query_keys: list[str],
     → Q3 per-key TSP-weighted value vote over the relevant virtual tables.
     Returns (key_norm, value, score) — one argmax row per query key."""
     tables_ds = tables_ds.materialize()
-    seeds = seed_tables_dma(tables_ds, query_keys, attribute_name)
+    # relevant tables = virtual tables sharing >= 1 query key (WIK(Q) in the
+    # paper) — the ONLY nodes whose TSP scores matter for aggregation, and
+    # the bound that keeps the driver-side score map small (QueryProcessor
+    # computes TSP only for relevantTables, :240-280)
+    relevant = seed_tables_dma(tables_ds, query_keys, attribute_name=None)
+    seeds = relevant
+    if attribute_name is not None:
+        from .matching import label_similarity
+
+        sim = relevant["header"].map(
+            lambda h: label_similarity(h, attribute_name))
+        seeds = relevant[sim >= 0.5]
     if seeds.empty:
         return pd.DataFrame({"key_norm": [], "value": [], "score": []})
     seeds = seeds.head(max_seeds)
     beta = dict(zip(seeds["vt_id"], seeds["dma"]))
 
     edges = table_graph_edges(tables_ds)
+    import ray
+
+    relevant_set = set(relevant["vt_id"])
+    rel_ref = ray.put(relevant_set)
     tsp = personalized_pagerank(edges, beta, alpha=alpha, iters=iters) \
-        .to_pandas()
+        .map_batches(lambda df, _r=rel_ref:
+                     df[df["vt_id"].isin(ray.get(_r))],
+                     batch_format="pandas").to_pandas()
     tsp_map = dict(zip(tsp["vt_id"], tsp["tsp"]))
     # seeds always count, even if isolated in the graph
     for vt, dma in beta.items():
