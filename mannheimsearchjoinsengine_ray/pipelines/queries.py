@@ -407,6 +407,13 @@ def q_top_orders_per_segment(sf_dir: str):
     joined = bucket_join(orders, cust, left_on="o_custkey",
                          right_on="c_custkey", bucket_count=16)
 
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # map-side combine: ≤3 rows per (segment, batch) reach the shuffle,
+        # so the per-segment group never holds the segment's full order set
+        df = df.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True])
+        return df.groupby("c_mktsegment", sort=False).head(3)
+
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["o_totalprice", "o_orderkey"],
                           ascending=[False, True]).head(3)
@@ -414,7 +421,8 @@ def q_top_orders_per_segment(sf_dir: str):
         g["rk"] = np.arange(1, len(g) + 1, dtype="int64")
         return g[["c_mktsegment", "rk", "o_orderkey", "o_totalprice"]]
 
-    out = joined.groupby("c_mktsegment").map_groups(topk, batch_format="pandas") \
+    out = joined.map_batches(partial_topk, batch_format="pandas") \
+        .groupby("c_mktsegment").map_groups(topk, batch_format="pandas") \
         .to_pandas()
     out["o_totalprice"] = out["o_totalprice"].round(2)
     return out.astype({"o_orderkey": "int64"})
