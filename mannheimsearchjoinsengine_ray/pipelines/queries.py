@@ -856,6 +856,173 @@ def q_kg_infogather_augment(sf_dir: str):
     return out
 
 
+def q_kg_link_quality(sf_dir: str):
+    """Self-evaluating linking: the full mention→link flow scored against
+    the SPEC-derived golden links (SearchTableResultAnalyzer analog,
+    stages/evaluate.py).  One row: precision/recall/coverage + counts.
+    Rows-only oracle; the values themselves are the quality gate."""
+    import os as _os
+
+    import ray.data as rd
+
+    from .kg import extract_tables_ds, read_pages
+    from ..sources.pages import golden_links_for_page, make_gazetteer, make_page_spec
+    from ..stages.evaluate import evaluate_links
+    from ..stages.link import link_mentions, mentions_from_tables_batch, top1_links
+    from ..state.index import build_index
+
+    corpus = corpus_for(sf_dir)
+    name = _os.path.basename(sf_dir.rstrip("/"))
+    n_pages = int(_os.environ.get("GRAFT_BENCH_PAGES",
+                                  _SF_PAGES.get(name, 200)))
+    index_dir = f"/tmp/graft_linkindex_{name}"
+    if not _os.path.isdir(index_dir) or not _os.listdir(index_dir):
+        gaz = rd.from_arrow(pa.table(make_gazetteer(500)))
+        build_index(gaz, index_dir, num_shards=4)
+    import dataclasses
+
+    import ray as _ray
+
+    from ..config import DEFAULT_CONFIG
+
+    pages = read_pages(corpus, columns=["url", "html"])
+    # materialize before the actor pool, and size the pool to HALF the
+    # cluster — a pool claiming every CPU starves the upstream stage and
+    # deadlocks the streaming executor at small clusters (run_full's rule)
+    tables = extract_tables_ds(pages).materialize()
+    mentions = tables.map_batches(mentions_from_tables_batch,
+                                  batch_format="pyarrow").materialize()
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    cfg = dataclasses.replace(DEFAULT_CONFIG,
+                              linker_concurrency=max(2, ncpu // 2))
+    got = top1_links(link_mentions(mentions, index_dir, cfg)).to_pandas()
+    gold_rows = []
+    for pid in range(n_pages):
+        gold_rows.extend(golden_links_for_page(make_page_spec(pid)))
+    gold = pd.DataFrame(gold_rows, columns=["url", "table_idx", "row_idx",
+                                            "mention", "entity_uri"])
+    r = evaluate_links(got[["url", "table_idx", "row_idx", "entity_uri"]],
+                       gold[["url", "table_idx", "row_idx", "entity_uri"]])
+    return pd.DataFrame([{
+        "precision": round(r.precision, 6), "recall": round(r.recall, 6),
+        "coverage": round(r.coverage, 6), "n_got": r.n_got,
+        "n_gold": r.n_gold, "n_correct": r.n_correct,
+    }])
+
+
+def q_kg_column_match(sf_dir: str):
+    """Schema matching end-to-end (InstanceBasedMatcher.calculateScores +
+    decideObjectMatching): candidate column pairs come from the virtual-table
+    graph (key co-occurrence — NOT all-pairs), values align on shared
+    normalized keys, instance scores feed the greedy 1↔N decision.
+    Returns matched pairs sorted; rows-only oracle."""
+    from .kg import extract_tables_ds, read_pages
+    from ..stages.infogather import key_value_postings_batch, table_graph_edges, virtual_tables_batch
+    from ..stages.matching import decide_object_matching, score_pairs_ds
+
+    import ray.data as rd
+
+    pages = read_pages(corpus_for(sf_dir), columns=["url", "html"])
+    tables = extract_tables_ds(pages).materialize()
+    # candidate pairs = strongest key-sharing virtual-table pairs (bounded)
+    edges = table_graph_edges(tables).to_pandas() \
+        .sort_values(["weight", "src", "dst"], ascending=[False, True, True]) \
+        .head(300)
+    vts = set(edges["src"]) | set(edges["dst"])
+
+    # per-vt header/type + aligned {key: value} dicts, only for candidates
+    import ray
+
+    vts_ref = ray.put(vts)
+
+    def vt_meta(t: pa.Table) -> pd.DataFrame:
+        keep = ray.get(vts_ref)
+        df = virtual_tables_batch(t).to_pandas()
+        return df[df["vt_id"].isin(keep)][["vt_id", "url", "header",
+                                           "table_idx", "col_idx"]]
+
+    def vt_values(t: pa.Table) -> pd.DataFrame:
+        keep = ray.get(vts_ref)
+        df = key_value_postings_batch(t).to_pandas()
+        return df[df["vt_id"].isin(keep)]
+
+    meta = tables.map_batches(vt_meta, batch_format="pyarrow").to_pandas()
+    vals = tables.map_batches(vt_values, batch_format="pyarrow").to_pandas()
+    value_map: dict[str, dict] = {}
+    for vt, g in vals.groupby("vt_id"):
+        value_map[vt] = dict(zip(g["key_norm"], g["value"]))
+    hdr = dict(zip(meta["vt_id"], meta["header"]))
+    src = dict(zip(meta["vt_id"], meta["url"]))
+
+    # voted type per vt from the table records' col_types
+    def vt_types(t: pa.Table) -> pd.DataFrame:
+        keep = ray.get(vts_ref)
+        rows = {"vt_id": [], "dtype": []}
+        for url, ti, cts in zip(t.column("url").to_pylist(),
+                                t.column("table_idx").to_pylist(),
+                                t.column("col_types").to_pylist()):
+            for ci, ct in enumerate(cts):
+                vt = f"{url}#{ti}#{ci}"
+                if vt in keep:
+                    rows["vt_id"].append(vt)
+                    rows["dtype"].append(ct)
+        return pd.DataFrame(rows)
+
+    types = dict(zip(*(lambda df: (df["vt_id"], df["dtype"]))(
+        tables.map_batches(vt_types, batch_format="pyarrow").to_pandas())))
+
+    pair_rows = []
+    for s, d in zip(edges["src"], edges["dst"]):
+        if s not in value_map or d not in value_map:
+            continue
+        pair_rows.append({
+            "left_col": s, "right_col": d,
+            "left_header": hdr.get(s, ""), "right_header": hdr.get(d, ""),
+            "data_type_left": types.get(s, "string"),
+            "data_type_right": types.get(d, "string"),
+            "left_source": src.get(s, ""), "right_source": src.get(d, ""),
+            "left_values": value_map[s], "right_values": value_map[d],
+        })
+    if not pair_rows:
+        return pd.DataFrame({"left_col": [], "right_col": []})
+    scored = score_pairs_ds(rd.from_pandas(pd.DataFrame(pair_rows))).to_pandas()
+    scores = {(r["left_col"], r["right_col"]): r["score"]
+              for _, r in scored.iterrows()}
+    col_types = {c: types.get(c, "string") for c in vts}
+    matched = decide_object_matching(scores, col_types)
+    matched_pairs = {(c, p) for c, ps in matched.items() for p in ps}
+    scored["decided"] = [
+        (l, r) in matched_pairs or (r, l) in matched_pairs
+        for l, r in zip(scored["left_col"], scored["right_col"])]
+    scored["score"] = scored["score"].round(6)
+    scored["label_score"] = scored["label_score"].round(6)
+    return scored.sort_values(["left_col", "right_col"]) \
+        .reset_index(drop=True)
+
+
+def q_kg_clean_tables(sf_dir: str):
+    """TableDataCleaner port over the corpus: density filters + numeric/unit
+    normalization; returns per-table surviving row/col counts (first 200
+    tables by url for a bounded, deterministic result).  Rows-only."""
+    from .kg import extract_tables_ds, read_pages
+    from ..stages.stats import clean_tables_batch
+
+    pages = read_pages(corpus_for(sf_dir), columns=["url", "html"])
+    tables = extract_tables_ds(pages)
+    cleaned = tables.map_batches(clean_tables_batch, batch_format="pyarrow")
+
+    def shape(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": t.column("url").to_pylist(),
+            "table_idx": t.column("table_idx").to_pylist(),
+            "n_rows": t.column("n_rows").to_pylist(),
+            "n_cols": [len(h) for h in t.column("headers").to_pylist()],
+        })
+
+    df = cleaned.map_batches(shape, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["url", "table_idx"]).head(200).reset_index(drop=True)
+
+
 def q_kg_values_per_subject(sf_dir: str):
     """Distribution of values per key (DistributionOfValuesPerKey analog)
     over the KG triples.  Rows-only oracle."""
@@ -1107,6 +1274,9 @@ QUERIES: dict = {
     "kg_fused_table": q_kg_fused_table,
     "kg_refine_link": q_kg_refine_link,
     "kg_infogather_augment": q_kg_infogather_augment,
+    "kg_link_quality": q_kg_link_quality,
+    "kg_column_match": q_kg_column_match,
+    "kg_clean_tables": q_kg_clean_tables,
     "kg_values_per_subject": q_kg_values_per_subject,
     "kg_header_frequencies": q_kg_header_frequencies,
     "kg_link_columns": q_kg_link_columns,
