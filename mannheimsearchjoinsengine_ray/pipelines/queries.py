@@ -762,10 +762,20 @@ def q_kg_fused_table(sf_dir: str):
     if not _os.path.isdir(index_dir) or not _os.listdir(index_dir):
         gaz = rd.from_arrow(pa.table(make_gazetteer(500)))
         build_index(gaz, index_dir, num_shards=4)
+    import dataclasses
+
+    import ray as _ray
+
+    from ..config import DEFAULT_CONFIG
+
     pages = read_pages(corpus, columns=["url", "html"])
     tables = extract_tables_ds(pages).materialize()
-    mentions = tables.map_batches(mentions_from_tables_batch, batch_format="pyarrow")
-    edges = top1_links(link_mentions(mentions, index_dir)).to_pandas()
+    mentions = tables.map_batches(mentions_from_tables_batch,
+                                  batch_format="pyarrow").materialize()
+    ncpu = int(_ray.cluster_resources().get("CPU", 8))
+    link_cfg = dataclasses.replace(DEFAULT_CONFIG,
+                                   linker_concurrency=max(2, ncpu // 2))
+    edges = top1_links(link_mentions(mentions, index_dir, link_cfg)).to_pandas()
     # bound the fused view: 200 mentions (maxMatchedTables analog); sorted
     # first so the selection is deterministic across actor-pool output orders
     edges = edges.sort_values(["mention", "url", "table_idx", "row_idx"]) \
