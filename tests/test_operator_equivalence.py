@@ -134,3 +134,26 @@ def test_bloom_no_false_negatives(rng):
     fp = bloom_contains(bloom, absent).mean()
     assert fp < 0.01  # 4 MiB filter, 20k keys -> tiny fp rate
     assert not bloom_contains(bloom, np.array([], dtype=np.int64)).any()
+
+
+def test_bucket_join_heavy_skew(ray_session, rng):
+    """One key holds 50% of the probe side (the hot-key regime): the join
+    must stay correct (the salting note in joins.py is about speed, never
+    correctness)."""
+    import ray.data as rd
+
+    from mannheimsearchjoinsengine_ray.stages.joins import bucket_join
+
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 1000, n))
+    left = pd.DataFrame({"k": keys, "payload": np.arange(n)})
+    right = pd.DataFrame({"rk": np.arange(1000), "dim": np.arange(1000) * 10})
+    got = bucket_join(rd.from_pandas(left), rd.from_pandas(right),
+                      left_on="k", right_on="rk", bucket_count=8).to_pandas()
+    want = left.merge(right, left_on="k", right_on="rk")[["k", "payload", "dim"]]
+    a = got[["k", "payload", "dim"]].sort_values(["k", "payload"]) \
+        .reset_index(drop=True).astype("int64")
+    b = want.sort_values(["k", "payload"]).reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(a, b)
+    # the hot key dominates and every copy survives
+    assert (a["k"] == 7).sum() == (keys == 7).sum()
