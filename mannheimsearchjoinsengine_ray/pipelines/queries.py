@@ -472,6 +472,40 @@ def q_events_weekday_profile(sf_dir: str):
     return _round_df(out.to_pandas(), {"avg_value": 4})
 
 
+def q_brand_part_search(sf_dir: str):
+    """String-containment filter + grouped count (the allow-list /
+    substring-search operator family): parts whose name contains 'red',
+    counted per brand.  Vectorized pyarrow match_substring at the read."""
+    from ..stages.aggregates import two_phase_agg
+
+    ds = _rp(sf_dir, "part", ["p_name", "p_brand"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.match_substring(t["p_name"], "red")),
+        batch_format="pyarrow")
+    out = two_phase_agg(ds, ["p_brand"], {"n_parts": (None, "count")})
+    return out.to_pandas()
+
+
+def q_premium_or_urgent_orders(sf_dir: str):
+    """Set op: UNION (distinct) of two filtered order sets — high-price
+    orders ∪ urgent orders (ds.union + bucket dedupe, never a driver set)."""
+    from ..stages.aggregates import dedupe_by_key
+
+    cols = ["o_orderkey", "o_totalprice", "o_orderpriority"]
+    a = _rp(sf_dir, "orders", cols).map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"],
+                                      pa.scalar(400000.0))),
+        batch_format="pyarrow")
+    b = _rp(sf_dir, "orders", cols).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"],
+                                    pa.scalar("1-URGENT"))),
+        batch_format="pyarrow")
+    out = dedupe_by_key(a.union(b), "o_orderkey").to_pandas()
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out.sort_values("o_orderkey").reset_index(drop=True) \
+        .astype({"o_orderkey": "int64"})
+
+
 def q_frequent_customers(sf_dir: str):
     """Grouped aggregate + HAVING: customers with >= 8 orders (two-phase
     partials; the HAVING filter runs on the small aggregate)."""
@@ -1211,6 +1245,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM orders GROUP BY o_custkey
         HAVING COUNT(*) >= 8
     """,
+    "brand_part_search": """
+        SELECT p_brand, COUNT(*) AS n_parts
+        FROM part WHERE p_name LIKE '%red%'
+        GROUP BY p_brand
+    """,
+    "premium_or_urgent_orders": """
+        SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice,
+               o_orderpriority
+        FROM orders
+        WHERE o_totalprice > 400000 OR o_orderpriority = '1-URGENT'
+    """,
     "value_histogram": """
         SELECT CAST(floor(value / 100.0) AS BIGINT) AS bucket, COUNT(*) AS n
         FROM events GROUP BY 1
@@ -1264,6 +1309,8 @@ QUERIES: dict = {
     "supplier_balance_by_nation": q_supplier_balance_by_nation,
     "events_weekday_profile": q_events_weekday_profile,
     "frequent_customers": q_frequent_customers,
+    "brand_part_search": q_brand_part_search,
+    "premium_or_urgent_orders": q_premium_or_urgent_orders,
     "token_counts": q_token_counts,
     "exact_dedup": q_exact_dedup,
     "quality_filter": q_quality_filter,
