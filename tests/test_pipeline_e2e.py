@@ -160,3 +160,39 @@ def test_ntriples_formatting():
     assert line.endswith('"12.5"^^<http://www.w3.org/2001/XMLSchema#float> .')
     line = T.format_ntriple("http://x/S", T.RDF_TYPE, "http://x/C", "uri")
     assert line == "<http://x/S> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://x/C> ."
+
+
+def test_extractor_adversarial_html(ray_session):
+    """Hostile pages must not crash the extract stage: unclosed tags, deep
+    nesting, nested tables, control chars, huge cells, truncated bytes,
+    non-UTF8."""
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from mannheimsearchjoinsengine_ray.stages.extract import TableExtractor, parse_page_full
+
+    nasty = [
+        b"<table><tr><td>unclosed",
+        b"<div>" * 500 + b"deep" + b"</div>" * 3,
+        (b"<table><tr><td><table><tr><td>nested</td></tr></table>"
+         b"</td></tr></table>"),
+        "<p>\x00control\x01chars</p>".encode(),
+        b"<table><tr><th>h1</th><th>h2</th><th>h3</th></tr>" +
+        b"".join(b"<tr><td>" + b"x" * 100_000 + b"</td><td>1</td><td>2</td></tr>"
+                 for _ in range(6)) + b"</table>",
+        b"\xff\xfe invalid utf8 \x80\x81<table><tr><td>a</td></tr></table>",
+        b"",
+        b"plain text, no markup at all",
+    ]
+    # driver-side: parse never raises
+    for h in nasty:
+        text, tables = parse_page_full(h)
+        assert isinstance(text, str)
+    # through the Ray stage
+    pages = pa.table({"url": [f"u{i}" for i in range(len(nasty))],
+                      "html": pa.array(nasty, pa.binary())})
+    out = rd.from_arrow(pages).map_batches(
+        TableExtractor(), batch_format="pyarrow").to_pandas()
+    # the huge-cell table is structurally valid (3 cols x 6 rows) and survives
+    assert (out["url"] == "u4").any()
