@@ -10,10 +10,10 @@ exchange as ONE union + ONE groupby shuffle:
     union → groupby(bucket) → pandas merge inside each group
 
 Partitioning assumption: both sides co-locate by ``hash(key) % B``; B sizes
-the per-task merge to worker memory.  Skewed keys spread only if the caller
-salts them (append ``hash(row) % K`` to hot keys on the build side and
-replicate probe rows K times — see q_revenue_by_nation's docstring for when
-that applies).
+the per-task merge to worker memory.  Skewed keys: pass ``salt=K`` with a
+``hot_keys`` set (``detect_hot_keys`` finds them with bounded partials) —
+hot probe rows spread over K sub-buckets, hot build rows replicate into
+each, equivalence-tested against the unsalted join.
 
 Used by the fusion operator (DataFuser analog) and the relational queries.
 """
@@ -55,10 +55,33 @@ def _prep(ds, on: str, bucket_count: int, side: int, all_cols: list[str]):
     return ds.map_batches(tag, batch_format="pandas")
 
 
+def detect_hot_keys(ds, col: str, min_count: int = 100_000,
+                    top_n: int = 64) -> set:
+    """Keys whose row count exceeds ``min_count`` (bounded to the top_n):
+    per-batch partial counts keep only candidates above min_count/#batches…
+    simplified to per-batch top counts merged on the driver — the partials
+    are top_n rows per batch, so the merge is bounded by batches × top_n."""
+    partials = ds.map_batches(
+        lambda df: df[col].value_counts().head(top_n).rename("n")
+        .rename_axis("k").reset_index(),
+        batch_format="pandas").to_pandas()
+    if partials.empty:
+        return set()
+    totals = partials.groupby("k")["n"].sum()
+    return set(totals[totals >= min_count].head(top_n).index)
+
+
 def bucket_join(left_ds, right_ds, left_on: str, right_on: str,
-                bucket_count: int = 32, how: str = "inner"):
+                bucket_count: int = 32, how: str = "inner",
+                salt: int = 1, hot_keys: set | None = None):
     """Hash-partitioned join of two Datasets → Dataset with the union of
-    columns (join key kept under the LEFT name)."""
+    columns (join key kept under the LEFT name).
+
+    Skew: with ``salt > 1`` and a ``hot_keys`` set (e.g. from
+    ``detect_hot_keys``), hot LEFT rows spread over ``salt`` sub-buckets
+    (random-ish via a row-content hash) while hot RIGHT rows REPLICATE into
+    every sub-bucket — the classic salted join, so one hot key no longer
+    pins an entire reduce task."""
     left_cols = _schema_names(left_ds)
     right_cols = _schema_names(right_ds)
     shared = (set(left_cols) - {left_on}) & (set(right_cols) - {right_on})
@@ -66,8 +89,57 @@ def bucket_join(left_ds, right_ds, left_on: str, right_on: str,
         raise ValueError(f"overlapping non-key columns: {shared}")
     all_cols = sorted((set(left_cols) - {left_on}) | (set(right_cols) - {right_on}))
 
-    l2 = _prep(left_ds, left_on, bucket_count, 0, all_cols)
-    r2 = _prep(right_ds, right_on, bucket_count, 1, all_cols)
+    use_salt = salt > 1 and hot_keys
+    if use_salt:
+        import ray
+
+        hot_ref = ray.put(set(hot_keys))
+
+        def prep_salted(ds, on, side):
+            def tag(df: pd.DataFrame) -> pd.DataFrame:
+                hot = ray.get(hot_ref)
+                out = pd.DataFrame()
+                out["__key"] = df[on]
+                for c in all_cols:
+                    if c in df.columns and c != on:
+                        out[c] = df[c]
+                    elif c != on:
+                        out[c] = None
+                base = hash64(df[on].astype(str).to_numpy())
+                is_hot = df[on].isin(hot).to_numpy()
+                if side == 0:
+                    # spread hot probe rows by a per-row salt
+                    row_salt = (np.arange(len(df)) % salt).astype(np.uint64)
+                    sub = np.where(is_hot, row_salt, 0).astype(np.uint64)
+                    out["__bucket"] = ((base * np.uint64(salt) + sub)
+                                       % np.uint64(bucket_count * salt)) \
+                        .astype("int64")
+                    out["__side"] = np.int8(0)
+                    return out
+                # build side: replicate hot rows into every sub-bucket
+                out["__side"] = np.int8(1)
+                cold = out[~is_hot].copy()
+                cold["__bucket"] = ((base[~is_hot] * np.uint64(salt))
+                                    % np.uint64(bucket_count * salt)) \
+                    .astype("int64")
+                reps = []
+                hot_rows = out[is_hot]
+                hb = base[is_hot]
+                for s in range(salt):
+                    rep = hot_rows.copy()
+                    rep["__bucket"] = ((hb * np.uint64(salt) + np.uint64(s))
+                                       % np.uint64(bucket_count * salt)) \
+                        .astype("int64")
+                    reps.append(rep)
+                return pd.concat([cold] + reps, ignore_index=True)
+
+            return ds.map_batches(tag, batch_format="pandas")
+
+        l2 = prep_salted(left_ds, left_on, 0)
+        r2 = prep_salted(right_ds, right_on, 1)
+    else:
+        l2 = _prep(left_ds, left_on, bucket_count, 0, all_cols)
+        r2 = _prep(right_ds, right_on, bucket_count, 1, all_cols)
     lc = [c for c in left_cols if c != left_on]
     rc = [c for c in right_cols if c != right_on]
 

@@ -157,3 +157,35 @@ def test_bucket_join_heavy_skew(ray_session, rng):
     pd.testing.assert_frame_equal(a, b)
     # the hot key dominates and every copy survives
     assert (a["k"] == 7).sum() == (keys == 7).sum()
+
+
+def test_bucket_join_salted_equivalence(ray_session, rng):
+    """Salted join (hot probe rows spread, hot build rows replicated) must
+    produce exactly the unsalted result, for inner and left joins."""
+    import ray.data as rd
+
+    from mannheimsearchjoinsengine_ray.stages.joins import (
+        bucket_join,
+        detect_hot_keys,
+    )
+
+    n = 30_000
+    keys = np.where(rng.random(n) < 0.4, 7,
+                    rng.integers(0, 500, n))          # key 7 is hot
+    left = pd.DataFrame({"k": keys, "payload": np.arange(n)})
+    right = pd.DataFrame({"rk": np.concatenate([np.arange(400), [7] * 3]),
+                          "dim": np.arange(403)})      # hot key also dup'd
+    lds, rds = rd.from_pandas(left), rd.from_pandas(right)
+    hot = detect_hot_keys(lds, "k", min_count=5000)
+    assert 7 in hot
+
+    for how in ("inner", "left"):
+        plain = bucket_join(rd.from_pandas(left), rd.from_pandas(right),
+                            "k", "rk", bucket_count=8, how=how).to_pandas()
+        salted = bucket_join(rd.from_pandas(left), rd.from_pandas(right),
+                             "k", "rk", bucket_count=8, how=how,
+                             salt=4, hot_keys=hot).to_pandas()
+        cols = ["k", "payload", "dim"]
+        a = plain[cols].sort_values(cols).reset_index(drop=True)
+        b = salted[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a.astype("float64"), b.astype("float64"))
