@@ -29,6 +29,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "pricing_summary", "revenue_by_nation", "top_orders",
     "events_hourly_window", "token_counts", "exact_dedup", "quality_filter",
+    "user_sessions", "top_orders_per_segment", "ann_topk",
 ]
 
 
