@@ -78,7 +78,7 @@ def q_revenue_by_nation(sf_dir: str):
     from ..stages.joins import bucket_join
 
     joined = bucket_join(li, orders, left_on="l_orderkey",
-                         right_on="o_orderkey", bucket_count=16)
+                         right_on="o_orderkey")
 
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
@@ -148,23 +148,43 @@ def q_column_uniqueness(sf_dir: str):
 
 
 def q_customers_with_orders(sf_dir: str):
-    """Broadcast semi-join (IndexManager.checkForAllowedSources analog):
-    customers having orders, counted per segment.  Scale: the key set is the
-    small side, shipped once."""
+    """Semi-join via Bloom prefilter + exact bucket verification
+    (IndexManager.checkForAllowedSources analog): customers having orders,
+    counted per segment.
+
+    Scale: per-batch Bloom PARTIALS over the fact table's keys OR together on
+    the driver — bounded by the FIXED filter size, never by key cardinality
+    (no driver key set).  Customers absent from the Bloom definitely have no
+    orders and drop immediately; the "maybe present" residue (true matches +
+    false positives) is verified EXACTLY by a bucket semi-join whose right
+    side ships only per-batch-deduped keys."""
     import ray
 
-    from ray.data.aggregate import Count
+    from ..functions.hashing import bloom_contains, bloom_partial
+    from ..stages.aggregates import two_phase_agg
+    from ..stages.joins import bucket_semi_join
 
-    custkeys = set(_rp(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
-    keys_ref = ray.put(custkeys)
+    num_bits = 1 << 22
+    orders = _rp(sf_dir, "orders", ["o_custkey"])
+    partials = orders.map_batches(
+        lambda df: pd.DataFrame({"bloom": [bloom_partial(
+            df["o_custkey"].to_numpy(), num_bits=num_bits).tobytes()]}),
+        batch_format="pandas").to_pandas()
+    bloom = np.zeros(num_bits // 8, dtype=np.uint8)
+    for b in partials["bloom"]:
+        bloom |= np.frombuffer(b, dtype=np.uint8)
+    bloom_ref = ray.put(bloom)
 
-    def semi(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(keys_ref)
-        return df[df["c_custkey"].isin(keys)]
+    def maybe(df: pd.DataFrame) -> pd.DataFrame:
+        hit = bloom_contains(ray.get(bloom_ref), df["c_custkey"].to_numpy())
+        return df[hit]
 
-    out = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
-        .map_batches(semi, batch_format="pandas") \
-        .groupby("c_mktsegment").aggregate(Count(alias_name="n_customers"))
+    residue = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(maybe, batch_format="pandas")
+    verified = bucket_semi_join(residue, orders, left_on="c_custkey",
+                                right_on="o_custkey", bucket_count=None)
+    out = two_phase_agg(verified, ["c_mktsegment"],
+                        {"n_customers": (None, "count")})
     return out.to_pandas()
 
 
@@ -211,7 +231,7 @@ def q_orders_without_lineitems(sf_dir: str):
         lambda df: df[df["__maybe"]].drop(columns="__maybe"),
         batch_format="pandas")
     verified = bucket_anti_join(residue, li, left_on="o_orderkey",
-                                right_on="l_orderkey", bucket_count=16)
+                                right_on="l_orderkey", bucket_count=None)
     return definite.union(verified).to_pandas()
 
 
@@ -228,7 +248,7 @@ def q_events_last_order(sf_dir: str):
         _rp(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey"]),
         ["o_custkey", "o_orderdate"], {"o_orderkey": ("o_orderkey", "max")})
     out = asof_join(events, orders, left_on="user_id", right_on="o_custkey",
-                    left_ts="ts", right_ts="o_orderdate")
+                    left_ts="ts", right_ts="o_orderdate", bucket_count=None)
     df = out.to_pandas()[["event_id", "user_id", "o_orderkey"]]
     # bucket-join column filling leaves pass-through columns object-typed
     return df.astype({"event_id": "int64", "user_id": "int64",
@@ -349,7 +369,7 @@ def q_shipping_priority(sf_dir: str):
         })
 
     li = li.map_batches(late_revenue, batch_format="pyarrow")
-    joined = bucket_join(li, orders, "l_orderkey", "o_orderkey", 16)
+    joined = bucket_join(li, orders, "l_orderkey", "o_orderkey")
     agg = two_phase_agg(joined, ["l_orderkey"], {"revenue": ("revenue", "sum")})
     out = agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
     return _round_df(out.to_pandas(), {"revenue": 2})
@@ -405,7 +425,7 @@ def q_top_orders_per_segment(sf_dir: str):
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = bucket_join(orders, cust, left_on="o_custkey",
-                         right_on="c_custkey", bucket_count=16)
+                         right_on="c_custkey")
 
     def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
         # map-side combine: ≤3 rows per (segment, batch) reach the shuffle,

@@ -623,7 +623,11 @@ def mapping_from_edges(edges_df: pd.DataFrame,
                        cfg: PipelineConfig = DEFAULT_CONFIG,
                        use_distributed_cc: bool | None = None) -> dict:
     """Verified alias edges → {uri: canonical_uri} via connected components
-    (empty dict = nothing merges; identity)."""
+    (empty dict = nothing merges; identity).
+
+    SMALL-PATH ONLY: the caller must bound ``edges_df`` (it is a driver
+    DataFrame).  The scale path is ``mapping_ds_from_edges`` — edge Dataset
+    in, (uri, canon) Dataset out, nothing driver-sized in between."""
     if edges_df.empty:
         return {}
     if use_distributed_cc is None:
@@ -636,6 +640,22 @@ def mapping_from_edges(edges_df: pd.DataFrame,
     else:
         comp = connected_components_local(edges_df)
     return {i: c for i, c in zip(comp["id"], comp["component"]) if i != c}
+
+
+def mapping_ds_from_edges(edges_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Verified alias-edge Dataset → (uri, canon) mapping Dataset, fully
+    Dataset-native: distributed connected components, then a map-only filter
+    to the non-identity rows.  The mapping NEVER lands on the driver — feed
+    the result straight to ``apply_canonical_mapping_join`` (or to
+    ``apply_canonical_mapping``, which dispatches on type)."""
+    comp = connected_components_distributed(edges_ds, cfg.cc_max_iterations)
+
+    def non_identity(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["id"] != df["component"]]
+        return pd.DataFrame({"uri": out["id"].to_numpy(),
+                             "canon": out["component"].to_numpy()})
+
+    return comp.map_batches(non_identity, batch_format="pandas")
 
 
 def build_canonical_mapping(triples_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
@@ -653,7 +673,7 @@ MAPPING_BROADCAST_LIMIT = 5_000_000
 
 def apply_canonical_mapping(triples_ds, mapping,
                             broadcast_limit: int = MAPPING_BROADCAST_LIMIT,
-                            bucket_count: int = 32):
+                            bucket_count: int | None = None):
     """Rewrite subj/obj URIs through the sameAs mapping.
 
     ``mapping`` is a dict (broadcast when within the explicit guard) or a
@@ -686,7 +706,7 @@ def apply_canonical_mapping(triples_ds, mapping,
 
 
 def apply_canonical_mapping_join(triples_ds, mapping_ds,
-                                 bucket_count: int = 32):
+                                 bucket_count: int | None = None):
     """Join-based URI rewrite: triples ⋈ (uri → canon) co-partitioned on the
     subject hash, then the uri-typed objects through a second join; literal
     rows bypass the second shuffle entirely."""

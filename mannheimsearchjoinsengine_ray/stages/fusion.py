@@ -60,7 +60,7 @@ def fuse_edges_with_triples(edges, triples_ds,
                             header_filter: list[str] | None = None,
                             exact_headers: bool = False,
                             broadcast_limit: int = BROADCAST_EDGE_LIMIT,
-                            bucket_count: int = 32):
+                            bucket_count: int | None = None):
     """Long fused view: one row per (matched mention × entity triple).
 
     edges: (mention, entity_uri, ...) link edges — pandas DataFrame or

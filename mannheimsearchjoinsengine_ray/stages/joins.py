@@ -10,10 +10,21 @@ exchange as ONE union + ONE groupby shuffle:
     union → groupby(bucket) → pandas merge inside each group
 
 Partitioning assumption: both sides co-locate by ``hash(key) % B``; B sizes
-the per-task merge to worker memory.  Skewed keys: pass ``salt=K`` with a
-``hot_keys`` set (``detect_hot_keys`` finds them with bounded partials) —
-hot probe rows spread over K sub-buckets, hot build rows replicate into
-each, equivalence-tested against the unsalted join.
+the per-task merge to worker memory.
+
+Auto planning (the 100×-safe default): with ``bucket_count=None`` both sides
+are materialized (the shuffle reads every row anyway) and B is derived from
+the measured byte size / ``target_bucket_bytes`` — a literal 16 caps reduce
+parallelism AND requires each bucket to fit one worker's heap at any scale.
+With ``salt=None`` (auto) a probe side above ``skew_threshold`` rows runs
+``detect_hot_keys`` (bounded partials) and salts automatically, so one hot
+key never pins a reduce task without the caller having to know about skew.
+
+Dtype contract: merged groups pass through pandas concat/merge where
+None-padding upcasts int64 → float64/object; output columns are restored to
+each side's Arrow-declared dtype (skipping int columns that genuinely carry
+nulls after an outer merge), so join pass-through columns hash identically to
+a DuckDB oracle.
 
 Used by the fusion operator (DataFuser analog) and the relational queries.
 """
@@ -22,8 +33,20 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from ..functions.hashing import hash64
+
+# per-reduce-task merge input target; B = total_bytes / this, clamped
+_TARGET_BUCKET_BYTES = 64 << 20
+_MIN_BUCKETS, _MAX_BUCKETS = 8, 65_536
+# probe sides below this row count skip hot-key detection entirely
+_AUTO_SKEW_ROWS = 1_000_000
+_AUTO_SALT = 8
+
+# the most recent auto-planned (bucket_count, salt, hot_keys) — observability
+# for tests and ds.stats() debugging, not part of the operator contract
+last_auto_plan: dict = {}
 
 
 def _schema_names(ds) -> list[str]:
@@ -36,6 +59,78 @@ def _schema_names(ds) -> list[str]:
     for f in base:
         out.append(f.name if hasattr(f, "name") else str(f))
     return out
+
+
+def _schema_dtypes(ds) -> dict[str, np.dtype]:
+    """Column → numpy dtype for the numeric/bool/timestamp columns of a
+    Dataset, from either an Arrow schema or a PandasBlockSchema."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    out: dict[str, np.dtype] = {}
+    if isinstance(base, pa.Schema):
+        for f in base:
+            try:
+                if (pa.types.is_integer(f.type) or pa.types.is_floating(f.type)
+                        or pa.types.is_boolean(f.type)
+                        or pa.types.is_timestamp(f.type)):
+                    out[f.name] = np.dtype(f.type.to_pandas_dtype())
+            except (pa.ArrowNotImplementedError, TypeError):
+                continue
+        return out
+    names = getattr(base, "names", None)
+    types = getattr(base, "types", None)
+    if names and types is not None:
+        for name, t in zip(names, types):
+            try:
+                dt = np.dtype(t)
+            except TypeError:
+                continue
+            if dt.kind in "iufbM":
+                out[name] = dt
+    return out
+
+
+def _dtype_restorer(dtype_maps: list[dict], rename: dict | None = None):
+    """Returns a frame-level restore fn from per-side dtype maps.  Int
+    columns that picked up real nulls (outer merge misses) stay as-is —
+    there is no lossless cast for them."""
+    targets: dict[str, np.dtype] = {}
+    for m in dtype_maps:
+        for name, dt in m.items():
+            targets.setdefault((rename or {}).get(name, name), dt)
+
+    def restore(df: pd.DataFrame) -> pd.DataFrame:
+        for c, dt in targets.items():
+            if c not in df.columns or df[c].dtype == dt:
+                continue
+            col = df[c]
+            if (np.issubdtype(dt, np.integer) or np.issubdtype(dt, np.bool_)) \
+                    and col.isna().any():
+                continue
+            try:
+                df[c] = col.astype(dt)
+            except (TypeError, ValueError):
+                continue
+        return df
+
+    return restore
+
+
+def _auto_buckets(*datasets, target_bucket_bytes: int = _TARGET_BUCKET_BYTES) -> int:
+    """Bucket count from measured input bytes (inputs must be materialized so
+    size_bytes is metadata, not an execution).  Floor = cluster CPU count so
+    small joins still use every core; cap keeps reduce-task count sane."""
+    total = sum((ds.size_bytes() or 0) for ds in datasets)
+    b = 1 << int(np.ceil(np.log2(max(1.0, total / target_bucket_bytes))))
+    lo = _MIN_BUCKETS
+    try:
+        import ray
+
+        if ray.is_initialized():
+            lo = max(lo, int(ray.cluster_resources().get("CPU", 0)))
+    except Exception:
+        pass
+    return int(np.clip(b, lo, _MAX_BUCKETS))
 
 
 def _prep(ds, on: str, bucket_count: int, side: int, all_cols: list[str]):
@@ -72,22 +167,50 @@ def detect_hot_keys(ds, col: str, min_count: int = 100_000,
 
 
 def bucket_join(left_ds, right_ds, left_on: str, right_on: str,
-                bucket_count: int = 32, how: str = "inner",
-                salt: int = 1, hot_keys: set | None = None):
+                bucket_count: int | None = None, how: str = "inner",
+                salt: int | None = None, hot_keys: set | None = None,
+                skew_threshold: int = _AUTO_SKEW_ROWS,
+                target_bucket_bytes: int = _TARGET_BUCKET_BYTES):
     """Hash-partitioned join of two Datasets → Dataset with the union of
     columns (join key kept under the LEFT name).
 
-    Skew: with ``salt > 1`` and a ``hot_keys`` set (e.g. from
-    ``detect_hot_keys``), hot LEFT rows spread over ``salt`` sub-buckets
-    (random-ish via a row-content hash) while hot RIGHT rows REPLICATE into
-    every sub-bucket — the classic salted join, so one hot key no longer
-    pins an entire reduce task."""
+    ``bucket_count=None`` → derived from measured input bytes (see module
+    doc).  ``salt=None`` → auto: probe sides above ``skew_threshold`` rows
+    run ``detect_hot_keys`` and salt by ``_AUTO_SALT`` when any key exceeds
+    5 % of the probe rows.  Explicit ``salt``/``hot_keys`` override auto.
+
+    Skew mechanics: hot LEFT rows spread over ``salt`` sub-buckets while hot
+    RIGHT rows REPLICATE into every sub-bucket — the classic salted join,
+    equivalence-tested against the unsalted join."""
     left_cols = _schema_names(left_ds)
     right_cols = _schema_names(right_ds)
     shared = (set(left_cols) - {left_on}) & (set(right_cols) - {right_on})
     if shared:
         raise ValueError(f"overlapping non-key columns: {shared}")
     all_cols = sorted((set(left_cols) - {left_on}) | (set(right_cols) - {right_on}))
+    restore = _dtype_restorer([_schema_dtypes(left_ds), _schema_dtypes(right_ds)],
+                              rename={right_on: left_on})
+
+    if bucket_count is None:
+        # full auto: materialize (the shuffle reads every row anyway), size
+        # B from bytes, and skew-scan the probe side above the row threshold
+        left_ds = left_ds.materialize()
+        right_ds = right_ds.materialize()
+        bucket_count = _auto_buckets(left_ds, right_ds,
+                                     target_bucket_bytes=target_bucket_bytes)
+        if salt is None:
+            n_left = left_ds.count()
+            if n_left >= skew_threshold:
+                hot_keys = detect_hot_keys(
+                    left_ds, left_on,
+                    min_count=max(skew_threshold // 20, int(n_left * 0.05)))
+                if hot_keys:
+                    salt = _AUTO_SALT
+        last_auto_plan.clear()
+        last_auto_plan.update({"bucket_count": bucket_count, "salt": salt or 1,
+                               "hot_keys": set(hot_keys or ())})
+    if salt is None:
+        salt = 1
 
     use_salt = salt > 1 and hot_keys
     if use_salt:
@@ -147,18 +270,23 @@ def bucket_join(left_ds, right_ds, left_on: str, right_on: str,
         l = group[group["__side"] == 0]
         r = group[group["__side"] == 1]
         m = l[["__key"] + lc].merge(r[["__key"] + rc], on="__key", how=how)
-        return m.rename(columns={"__key": left_on})
+        return restore(m.rename(columns={"__key": left_on}))
 
     return l2.union(r2).groupby("__bucket").map_groups(merge, batch_format="pandas")
 
 
-def bucket_anti_join(left_ds, right_ds, left_on: str, right_on: str,
-                     bucket_count: int = 32):
-    """LEFT rows whose key has NO match on the right — the exact anti-join,
-    expressed as the same one-union-one-groupby exchange as ``bucket_join``.
-    The right side ships only its per-batch-deduped KEYS (map-side combine),
-    so the shuffle volume is bounded by distinct keys, not fact-table rows."""
+def _bucket_semi_anti(left_ds, right_ds, left_on: str, right_on: str,
+                      bucket_count: int | None, keep_matched: bool):
+    """Shared body of bucket_semi_join / bucket_anti_join: LEFT rows kept by
+    whether their key has a match on the right.  The right side ships only
+    its per-batch-deduped KEYS (map-side combine), so the shuffle volume is
+    bounded by distinct keys, not fact-table rows."""
     left_cols = _schema_names(left_ds)
+    restore = _dtype_restorer([_schema_dtypes(left_ds)])
+
+    if bucket_count is None:
+        left_ds = left_ds.materialize()
+        bucket_count = _auto_buckets(left_ds)
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
@@ -181,29 +309,55 @@ def bucket_anti_join(left_ds, right_ds, left_on: str, right_on: str,
     l2 = left_ds.map_batches(tag_left, batch_format="pandas")
     r2 = right_ds.map_batches(tag_right, batch_format="pandas")
 
-    def anti(group: pd.DataFrame) -> pd.DataFrame:
+    def pick(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["__side"] == 0]
-        rkeys = group.loc[group["__side"] == 1, "__key"]
-        keep = l[~l["__key"].isin(set(rkeys))]
-        return keep[left_cols]
+        rkeys = set(group.loc[group["__side"] == 1, "__key"])
+        matched = l["__key"].isin(rkeys)
+        keep = l[matched] if keep_matched else l[~matched]
+        return restore(keep[left_cols].copy())
 
-    return l2.union(r2).groupby("__bucket").map_groups(anti,
+    return l2.union(r2).groupby("__bucket").map_groups(pick,
                                                        batch_format="pandas")
 
 
+def bucket_anti_join(left_ds, right_ds, left_on: str, right_on: str,
+                     bucket_count: int | None = 32):
+    """LEFT rows whose key has NO match on the right — the exact anti-join,
+    expressed as the same one-union-one-groupby exchange as ``bucket_join``."""
+    return _bucket_semi_anti(left_ds, right_ds, left_on, right_on,
+                             bucket_count, keep_matched=False)
+
+
+def bucket_semi_join(left_ds, right_ds, left_on: str, right_on: str,
+                     bucket_count: int | None = 32):
+    """LEFT rows whose key HAS a match on the right (exact semi-join; each
+    left row appears at most once regardless of right multiplicity).  Same
+    exchange as ``bucket_anti_join`` — right ships deduped keys only."""
+    return _bucket_semi_anti(left_ds, right_ds, left_on, right_on,
+                             bucket_count, keep_matched=True)
+
+
 def asof_join(left_ds, right_ds, left_on: str, right_on: str,
-              left_ts: str, right_ts: str, bucket_count: int = 16,
+              left_ts: str, right_ts: str, bucket_count: int | None = 16,
               inner: bool = True):
     """As-of join (nearest right row with right_ts <= left_ts per key): sort
     both sides by (key, ts) within hash(key) buckets and ``pd.merge_asof``
     per bucket — the range-join pattern from the Ray guide.  One groupby
-    shuffle; ordering assumption: ts sortable within a bucket's memory."""
+    shuffle; ordering assumption: ts sortable within a bucket's memory.
+    ``bucket_count=None`` derives B from measured input bytes."""
     left_cols = _schema_names(left_ds)
     right_cols = _schema_names(right_ds)
     shared = (set(left_cols) - {left_on}) & (set(right_cols) - {right_on})
     if shared:
         raise ValueError(f"overlapping non-key columns: {shared}")
     all_cols = sorted((set(left_cols) - {left_on}) | (set(right_cols) - {right_on}))
+    restore = _dtype_restorer([_schema_dtypes(left_ds), _schema_dtypes(right_ds)],
+                              rename={right_on: left_on})
+
+    if bucket_count is None:
+        left_ds = left_ds.materialize()
+        right_ds = right_ds.materialize()
+        bucket_count = _auto_buckets(left_ds, right_ds)
 
     l2 = _prep(left_ds, left_on, bucket_count, 0, all_cols)
     r2 = _prep(right_ds, right_on, bucket_count, 1, all_cols)
@@ -233,6 +387,6 @@ def asof_join(left_ds, right_ds, left_on: str, right_on: str,
                               by="__key", direction="backward")
         if inner:
             m = m[m[right_ts].notna()]
-        return m.rename(columns={"__key": left_on})
+        return restore(m.rename(columns={"__key": left_on}))
 
     return l2.union(r2).groupby("__bucket").map_groups(merge, batch_format="pandas")

@@ -189,3 +189,73 @@ def test_bucket_join_salted_equivalence(ray_session, rng):
         a = plain[cols].sort_values(cols).reset_index(drop=True)
         b = salted[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a.astype("float64"), b.astype("float64"))
+
+
+def test_bucket_semi_join_matches_pandas(ray_session, rng):
+    import ray.data as rd
+
+    from mannheimsearchjoinsengine_ray.stages.joins import bucket_semi_join
+
+    left = pd.DataFrame({"k": rng.integers(0, 500, 2000),
+                         "payload": rng.integers(0, 9, 2000)})
+    right = pd.DataFrame({"rk": rng.integers(0, 300, 5000)})
+    got = bucket_semi_join(rd.from_pandas(left), rd.from_pandas(right),
+                           left_on="k", right_on="rk",
+                           bucket_count=8).to_pandas()
+    want = left[left["k"].isin(set(right["rk"]))]
+    a = got.sort_values(["k", "payload"]).reset_index(drop=True)
+    b = want.sort_values(["k", "payload"]).reset_index(drop=True)
+    # dtype restore keeps int64 through the None-padded exchange
+    pd.testing.assert_frame_equal(a, b)
+    assert a["k"].dtype == np.int64 and a["payload"].dtype == np.int64
+
+
+def test_bucket_join_auto_plan_salts_on_skew(ray_session, rng):
+    """With bucket_count=None (full auto) a 50%-skewed probe side must pick
+    salt > 1 WITHOUT the caller asking, and the result must equal the
+    explicit unsalted join."""
+    import ray.data as rd
+
+    from mannheimsearchjoinsengine_ray.stages import joins
+
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.5, 7, rng.integers(0, 1000, n))
+    left = pd.DataFrame({"k": keys, "payload": np.arange(n)})
+    right = pd.DataFrame({"rk": np.arange(1000), "dim": np.arange(1000) * 10})
+    got = joins.bucket_join(rd.from_pandas(left), rd.from_pandas(right),
+                            left_on="k", right_on="rk",
+                            skew_threshold=1000).to_pandas()
+    assert joins.last_auto_plan["salt"] > 1
+    assert 7 in joins.last_auto_plan["hot_keys"]
+    want = left.merge(right, left_on="k", right_on="rk")[["k", "payload", "dim"]]
+    a = got[["k", "payload", "dim"]].sort_values(["k", "payload"]) \
+        .reset_index(drop=True)
+    b = want.sort_values(["k", "payload"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # dtypes restored -> exact compare
+
+
+def test_bucket_join_dtype_restore(ray_session, rng):
+    """int64/float64/timestamp columns survive the None-padded exchange with
+    their dtypes intact (no .astype masking in the assert)."""
+    import ray.data as rd
+
+    from mannheimsearchjoinsengine_ray.stages.joins import bucket_join
+
+    left = pd.DataFrame({
+        "k": rng.integers(0, 50, 500),
+        "li": rng.integers(0, 10**9, 500),
+        "lf": rng.random(500),
+        "lt": pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(rng.integers(0, 10**6, 500), unit="s"),
+    })
+    right = pd.DataFrame({"rk": np.arange(50), "ri": np.arange(50) * 7})
+    got = bucket_join(rd.from_pandas(left), rd.from_pandas(right),
+                      "k", "rk", bucket_count=8).to_pandas()
+    assert got["k"].dtype == np.int64
+    assert got["li"].dtype == np.int64
+    assert got["ri"].dtype == np.int64
+    assert got["lf"].dtype == np.float64
+    assert str(got["lt"].dtype).startswith("datetime64")
+    want = left.merge(right, left_on="k", right_on="rk")
+    assert len(got) == len(want)
+    assert int(got["li"].sum()) == int(want["li"].sum())
