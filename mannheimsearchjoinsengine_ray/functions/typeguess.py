@@ -32,8 +32,12 @@ from .units import extract_unit_abbr_from_header, parse_unit
 TYPES = ("numeric", "string", "coordinate", "date", "link", "bool", "unknown", "unit", "list")
 
 
+_UNSET = object()
+
+
 def guess_type_for_value(
-    value: str, column_header: str | None = None, use_unit: bool = False
+    value: str, column_header: str | None = None, use_unit: bool = False,
+    header_hint=_UNSET,
 ) -> str:
     if parsers.check_if_list(value):
         return "list"
@@ -41,8 +45,12 @@ def guess_type_for_value(
     if not valid_length:
         use_unit = False
     if use_unit:
-        hint = extract_unit_abbr_from_header(column_header) if column_header else None
-        if parse_unit(value, header_hint=hint) is not None:
+        # callers looping over a column pass the hint precomputed — the
+        # bracket-regex on the header is per-COLUMN state, not per value
+        if header_hint is _UNSET:
+            header_hint = extract_unit_abbr_from_header(column_header) \
+                if column_header else None
+        if parse_unit(value, header_hint=header_hint) is not None:
             return "unit"
     if valid_length and parsers.parse_date(value) is not None:
         return "date"
@@ -57,23 +65,35 @@ def guess_type_for_value(
     return "string"
 
 
+# worker-lifetime guess memo: corpora repeat values heavily across pages
+# (entity attributes, categories, shared numbers), so the same (value, hint)
+# guess recurs far beyond one column.  Bounded; stops adding when full.
+_GUESS_MEMO: dict[tuple, str] = {}
+_GUESS_MEMO_CAP = 500_000
+
+
 def vote_column_type(values: Iterable[str], header: str | None = None,
                      use_unit: bool = False) -> str:
     """Majority vote over non-null values with the bool demotion check.
 
-    Distinct values are guessed once (low-cardinality columns — categories,
-    booleans, repeated labels — dominate real web tables); the vote still
-    counts every occurrence, identical to the reference's per-value loop."""
+    Distinct (value, header-hint) pairs are guessed once per WORKER (module
+    memo — repeated values dominate real web corpora); the vote still counts
+    every occurrence, identical to the reference's per-value loop."""
     counts: Counter[str] = Counter()
     non_null: list[str] = []
-    memo: dict[str, str] = {}
+    hint = extract_unit_abbr_from_header(header) \
+        if (use_unit and header) else None
+    memo = _GUESS_MEMO
     for v in values:
         if v is None or v == "" or v == NULL_VALUE:
             continue
         non_null.append(v)
-        t = memo.get(v)
+        key = (v, hint, use_unit)
+        t = memo.get(key)
         if t is None:
-            t = memo[v] = guess_type_for_value(v, header, use_unit)
+            t = guess_type_for_value(v, header, use_unit, header_hint=hint)
+            if len(memo) < _GUESS_MEMO_CAP:
+                memo[key] = t
         counts[t] += 1
     if not counts:
         return "string"

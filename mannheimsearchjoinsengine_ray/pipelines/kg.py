@@ -178,12 +178,19 @@ def run_resumable(pages_path: str, out_dir: str,
     return metrics
 
 
+# label sets at or below this row count run driver-local blocking + CC; above
+# it, the whole mapping construction stays Dataset-native (nothing
+# driver-sized: edges, components, and the (uri, canon) table are Datasets)
+LOCAL_LABEL_LIMIT = 2_000_000
+
+
 def run_full(pages_path: str, out_dir: str,
              cfg: PipelineConfig = DEFAULT_CONFIG,
              num_shards: int | None = None,
              partitions_per_shard: int = 4,
              num_entities: int = 500,
-             canonicalize: bool = True) -> dict:
+             canonicalize: bool = True,
+             local_label_limit: int = LOCAL_LABEL_LIMIT) -> dict:
     """The complete north-rule flow with checkpoints at every stage boundary:
 
       phase 0  label-index build from the gazetteer (manifested, skipped on
@@ -292,10 +299,14 @@ def run_full(pages_path: str, out_dir: str,
             alias_edges_from_labels,
             alias_edges_local,
             apply_canonical_mapping,
+            mapping_ds_from_edges,
             mapping_from_edges,
         )
 
-        mapping = {}
+        # dict on the guarded small path; (uri, canon) Dataset on the scale
+        # path — the scale mapping never lands on the driver
+        mapping: "dict | object" = {}
+        n_merged = 0
         if canonicalize:
             label_files: list[str] = []
             for si in completed_shards(out_dir):
@@ -312,16 +323,20 @@ def run_full(pages_path: str, out_dir: str,
                 # semantics, none of the per-op scheduling overhead)
                 n_labels = sum(pq.ParquetFile(f).metadata.num_rows
                                for f in label_files)
-                if n_labels <= 2_000_000:
+                if n_labels <= local_label_limit:
                     labels_df = pq.read_table(label_files[0]).to_pandas() \
                         if len(label_files) == 1 else \
                         pa.concat_tables([pq.read_table(f) for f in label_files]).to_pandas()
-                    edges_df = alias_edges_local(labels_df, cfg)
+                    mapping = mapping_from_edges(alias_edges_local(labels_df, cfg), cfg)
+                    n_merged = len(mapping)
                 else:
-                    edges_df = alias_edges_from_labels(
-                        rd.read_parquet(label_files), cfg).to_pandas()
-                mapping = mapping_from_edges(edges_df, cfg)
-        if mapping:
+                    # Dataset-native end-to-end: edge Dataset → distributed
+                    # CC → (uri, canon) Dataset → co-partitioned join rewrite
+                    edges_ds = alias_edges_from_labels(
+                        rd.read_parquet(label_files), cfg)
+                    mapping = mapping_ds_from_edges(edges_ds, cfg).materialize()
+                    n_merged = mapping.count()
+        if n_merged:
             triples_all = read_output(out_dir)
             part_cols = [c for c in ("shard", "part")
                          if c in (triples_all.schema().names or [])]
@@ -342,11 +357,11 @@ def run_full(pages_path: str, out_dir: str,
             layout = "phase1"
         with open(final_manifest + ".tmp", "w") as fh:
             json.dump({"rows": n_final, "layout": layout,
-                       "merged_uris": len(mapping),
+                       "merged_uris": n_merged,
                        "completed_at": time.time()}, fh)
         os.replace(final_manifest + ".tmp", final_manifest)
         metrics["final_rows"] = n_final
-        metrics["merged_uris"] = len(mapping)
+        metrics["merged_uris"] = n_merged
     else:
         with open(final_manifest) as fh:
             metrics["final_rows"] = json.load(fh)["rows"]

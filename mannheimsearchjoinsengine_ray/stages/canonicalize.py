@@ -111,7 +111,7 @@ def _pairs_from_group(group: pd.DataFrame, max_block: int = 50) -> pd.DataFrame:
                          "left_name": LN, "right_name": RN})
 
 
-def candidate_pairs(blocked_ds, max_block: int = 50):
+def candidate_pairs(blocked_ds, max_block: int = 50, bloom_bits: int = 1 << 22):
     """groupby(band) → unordered candidate pairs.  Blocks larger than
     ``max_block`` are truncated after sorting by id (deterministic) — the
     skew guard; every member still pairs with the block minimum so the
@@ -120,15 +120,21 @@ def candidate_pairs(blocked_ds, max_block: int = 50):
     Almost every (band_idx, band_hash) key is a singleton that cannot yield a
     pair; since map_groups pays per-group overhead, singletons are dropped
     FIRST.  The duplicated-band-key set is found WITHOUT a high-cardinality
-    Ray aggregate (this version's groupby cost scales with group count):
-    per-batch pandas counts reduce through a CONSTANT-bucket shuffle, and
-    only the pair-producing keys (bounded by the duplicate count, not the
-    label count) reach the driver for the broadcast semi-filter."""
+    Ray aggregate: per-batch pandas counts reduce through a CONSTANT-bucket
+    shuffle; each bucket emits its pair-producing keys as an OR-mergeable
+    Bloom PARTIAL, so what reaches the driver is bounded by the FIXED filter
+    size, never by the duplicate count.  Bloom false positives only let a
+    few singleton bands through the semi-filter — singleton groups yield no
+    pairs, so the result stays exact."""
     import ray
 
-    from ..functions.hashing import hash64
+    from ..functions.hashing import bloom_contains, bloom_partial, hash64
 
     blocked_ds = blocked_ds.materialize()
+
+    def _band_keys(df: pd.DataFrame) -> np.ndarray:
+        return (df["band_idx"].astype(str) + ":"
+                + df["band_hash"].astype(str)).to_numpy()
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["band_idx", "band_hash"], sort=False).size()
@@ -139,27 +145,26 @@ def candidate_pairs(blocked_ds, max_block: int = 50):
             % np.uint64(16)).astype("int64")
         return out
 
-    def hot_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def hot_bloom(g: pd.DataFrame) -> pd.DataFrame:
         tot = g.groupby(["band_idx", "band_hash"], sort=False)["n"].sum()
         hot = tot[tot >= 2].reset_index()
-        return hot[["band_idx", "band_hash"]]
+        bits = bloom_partial(_band_keys(hot), num_bits=bloom_bits)
+        return pd.DataFrame({"bloom": [bits.tobytes()], "n_hot": [len(hot)]})
 
-    hot_df = blocked_ds.map_batches(partial_counts, batch_format="pandas") \
-        .groupby("__bucket").map_groups(hot_in_bucket, batch_format="pandas") \
+    parts = blocked_ds.map_batches(partial_counts, batch_format="pandas") \
+        .groupby("__bucket").map_groups(hot_bloom, batch_format="pandas") \
         .to_pandas()
-    if hot_df.empty:
+    if parts.empty or int(parts["n_hot"].sum()) == 0:
         return blocked_ds.limit(0).map_batches(
             lambda g: _pairs_from_group(g, max_block), batch_format="pandas")
-    hot_keys = set(zip(hot_df["band_idx"], hot_df["band_hash"]))
-    hot_ref = ray.put(hot_keys)
+    bloom = np.zeros(bloom_bits // 8, dtype=np.uint8)
+    for b in parts["bloom"]:
+        bloom |= np.frombuffer(b, dtype=np.uint8)
+    bloom_ref = ray.put(bloom)
 
     def semi(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(hot_ref)
-        mask = [
-            (bi, bh) in keys
-            for bi, bh in zip(df["band_idx"], df["band_hash"])
-        ]
-        return df[pd.Series(mask, index=df.index)]
+        mask = bloom_contains(ray.get(bloom_ref), _band_keys(df))
+        return df[mask]
 
     return blocked_ds.map_batches(semi, batch_format="pandas") \
         .repartition(8).groupby(["band_idx", "band_hash"]) \

@@ -48,10 +48,15 @@ def _collapse(s: str) -> str:
 
 
 class _PageParser(HTMLParser):
-    """One-pass extraction of both the text blocks and the raw tables."""
+    """One-pass extraction of both the text blocks and the raw tables.
 
-    def __init__(self) -> None:
+    ``collect_text=False`` skips every text-block buffer append/collapse —
+    the table-extraction path pays none of the prose-handling cost (the
+    extract stage dominates the e2e pipeline; see BASELINE.md)."""
+
+    def __init__(self, collect_text: bool = True) -> None:
         super().__init__(convert_charrefs=True)
+        self.collect_text = collect_text
         self.skip_depth = 0
         self.blocks: list[str] = []
         self._buf: list[str] = []
@@ -110,9 +115,10 @@ class _PageParser(HTMLParser):
                 if self._row is not None:
                     if self.tables:
                         self.tables[-1].append(self._row)
-                    line = "\t".join(self._row)
-                    if line.strip():
-                        self.blocks.append(line)
+                    if self.collect_text:
+                        line = "\t".join(self._row)
+                        if line.strip():
+                            self.blocks.append(line)
                 self._row = None
             elif tag == "table":
                 self._table_depth = max(0, self._table_depth - 1)
@@ -127,7 +133,8 @@ class _PageParser(HTMLParser):
             if self._cell is not None:
                 self._cell.append(data)
             return
-        self._buf.append(data)
+        if self.collect_text:
+            self._buf.append(data)
 
     def close(self) -> None:  # noqa: D102
         super().close()
@@ -143,8 +150,8 @@ class RawTable:
 class _TableFlagParser(_PageParser):
     """_PageParser plus per-table header-row flags."""
 
-    def __init__(self) -> None:
-        super().__init__()
+    def __init__(self, collect_text: bool = True) -> None:
+        super().__init__(collect_text=collect_text)
         self.table_flags: list[list[bool]] = []
 
     def handle_starttag(self, tag, attrs) -> None:
@@ -161,13 +168,21 @@ class _TableFlagParser(_PageParser):
         super().handle_endtag(tag)
 
 
-def parse_page_full(html: bytes | str) -> tuple[str, list[RawTable]]:
-    """→ (extracted_text, raw tables with headers split off)."""
+import re as _re
+
+_TABLE_MARKER_B = _re.compile(rb"<table", _re.IGNORECASE)
+_TABLE_MARKER_S = _re.compile(r"<table", _re.IGNORECASE)
+
+
+def _has_table_marker(html: bytes | str) -> bool:
+    """Cheap byte/char scan for '<table' — pages without it (40 % of a web
+    corpus here) skip the full parser walk entirely."""
     if isinstance(html, (bytes, bytearray, memoryview)):
-        html = bytes(html).decode("utf-8", "replace")
-    p = _TableFlagParser()
-    p.feed(html)
-    p.close()
+        return _TABLE_MARKER_B.search(bytes(html)) is not None
+    return _TABLE_MARKER_S.search(html) is not None
+
+
+def _tables_from_parser(p: "_TableFlagParser") -> list[RawTable]:
     raw_tables: list[RawTable] = []
     for rows, flags in zip(p.tables, p.table_flags):
         if not rows:
@@ -183,7 +198,30 @@ def parse_page_full(html: bytes | str) -> tuple[str, list[RawTable]]:
         headers = rows[0]
         body = rows[1:]
         raw_tables.append(RawTable(headers=headers, rows=body))
-    return "\n".join(p.blocks), raw_tables
+    return raw_tables
+
+
+def parse_page_full(html: bytes | str) -> tuple[str, list[RawTable]]:
+    """→ (extracted_text, raw tables with headers split off)."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", "replace")
+    p = _TableFlagParser()
+    p.feed(html)
+    p.close()
+    return "\n".join(p.blocks), _tables_from_parser(p)
+
+
+def parse_page_tables(html: bytes | str) -> list[RawTable]:
+    """Tables only — no text-block collection, and a '<table' prefilter
+    short-circuits table-free pages before any parsing."""
+    if not _has_table_marker(html):
+        return []
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", "replace")
+    p = _TableFlagParser(collect_text=False)
+    p.feed(html)
+    p.close()
+    return _tables_from_parser(p)
 
 
 # ---------------------------------------------------------------------------
@@ -316,7 +354,7 @@ class TableExtractor:
         htmls = batch.column("html").to_pylist()
         out = {name: [] for name in _TABLE_RECORD_SCHEMA.names}
         for url, html in zip(urls, htmls):
-            _, raw_tables = parse_page_full(html)
+            raw_tables = parse_page_tables(html)
             for ti, raw in enumerate(raw_tables):
                 pt = process_table(raw, self.cfg)
                 if pt is None:

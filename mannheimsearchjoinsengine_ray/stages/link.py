@@ -75,9 +75,12 @@ def mentions_from_tables_batch(batch: pa.Table) -> pa.Table:
                 out["mention"].append(k)
                 if rows is not None and ri < len(rows):
                     cells = rows[ri]
-                    ctx = CONTEXT_SEP.join(
-                        c for ci, c in enumerate(cells[:_MAX_CONTEXT_CELLS + 1])
-                        if ci != ki and c and c != "null")
+                    # filter the key/empty cells FIRST, then cap — slicing
+                    # before the filter under-caps whenever key_idx falls
+                    # outside the slice (wide tables carried 9 cells)
+                    ctx_cells = [c for ci, c in enumerate(cells)
+                                 if ci != ki and c and c != "null"]
+                    ctx = CONTEXT_SEP.join(ctx_cells[:_MAX_CONTEXT_CELLS])
                 else:
                     ctx = ""
                 out["context"].append(ctx)

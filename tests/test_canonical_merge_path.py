@@ -74,3 +74,45 @@ def test_apply_mapping_broadcast_vs_join_equivalence(ray_session, tmp_path):
     pd.testing.assert_frame_equal(bcast, joined)
     # rewritten subjects actually changed
     assert not set(mapping) & set(joined["subj"])
+
+
+def _read_final(out: str):
+    import ray.data as rd
+
+    final_files = []
+    final_dir = os.path.join(out, "final")
+    for d in sorted(os.listdir(final_dir)):
+        if d.startswith("part="):
+            pd_dir = os.path.join(final_dir, d)
+            final_files.extend(os.path.join(pd_dir, f)
+                               for f in os.listdir(pd_dir)
+                               if f.endswith(".parquet"))
+    return rd.read_parquet(final_files)
+
+
+def test_run_full_mapping_dataset_native_equivalence(ray_session, tmp_path):
+    """The label-count guard forced both ways: the driver-dict path and the
+    Dataset-native path (local_label_limit=0 -> edge Dataset -> distributed
+    CC -> (uri, canon) Dataset -> join rewrite, no driver dict anywhere)
+    must produce identical final triple sets and merge counts."""
+    import pandas as pd
+
+    corpus = str(tmp_path / "corpus_native")
+    P.write_corpus(corpus, n_pages=60, seed=42, parallelism=2)
+    cfg = PipelineConfig(fuzzy_min_confidence=0.45, minhash_bands=16)
+
+    out_dict = str(tmp_path / "out_dict")
+    m1 = kg.run_full(corpus, out_dict, cfg=cfg, num_shards=1,
+                     partitions_per_shard=2)
+    out_ds = str(tmp_path / "out_ds")
+    m2 = kg.run_full(corpus, out_ds, cfg=cfg, num_shards=1,
+                     partitions_per_shard=2, local_label_limit=0)
+
+    assert m1["merged_uris"] > 0
+    assert m2["merged_uris"] == m1["merged_uris"]
+    cols = ["subj", "pred", "obj", "obj_type", "source_url"]
+    a = _read_final(out_dict).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    b = _read_final(out_ds).to_pandas()[cols] \
+        .sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
