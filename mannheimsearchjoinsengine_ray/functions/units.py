@@ -28,8 +28,9 @@ class SubUnit:
     name: str
     family: str          # unit family (main-unit) name
     base_name: str       # base unit name within the family
-    rate: float          # value in this subunit × rate = value in base unit
+    rate: float          # (value + offset) × rate = value in base unit
     abbreviations: tuple[str, ...]
+    offset: float = 0.0  # pre-scale shift (temperature scales); 0 elsewhere
 
 
 # family -> base unit name -> [(subunit name, rate, abbreviations...)]
@@ -198,14 +199,91 @@ _UNIT_TABLES: dict[str, tuple[str, list[tuple[str, float, tuple[str, ...]]]]] = 
         ("kilogramPerKilometre", 1.0e3, ("kg/km", "kilogramperkilometre")),
         ("gramPerMetre", 1.0e3, ("g/m", "grampermetre")),
     ]),
+    # --- Temperature (reference surface: Units/Temperature.txt; offset-aware
+    # conversion K = (value + offset) × rate — the file's rate/offset pairs
+    # reproduce °C→K (25°C = 298.15 K), °F→K, °R→K.  NOTE: the reference's
+    # loader (UnitManager.loadUnits:49-55) never actually reads that file, so
+    # this family is a completion of the shipped-but-unwired surface.
+    # Bare "c"/"f" clash with nothing earlier; "k" stays with Numbers
+    # (thousand) per first-writer precedence — kelvin needs "°k"/"kelvin". ---
+    "Temperature": ("kelvin", [
+        ("kelvin", 1.0, ("°k", "kelvin", "kelvins"), 0.0),
+        ("degreeCelsius", 1.0, ("°c", "c", "celsius", "degc",
+                                "degree celsius", "degreecelsius"), 273.15),
+        ("degreeFahrenheit", 5.0 / 9.0, ("°f", "f", "fahrenheit", "degf",
+                                         "degree fahrenheit",
+                                         "degreefahrenheit"), 459.67),
+        ("degreeRankine", 5.0 / 9.0, ("°r", "rankine", "degree rankine",
+                                      "degreerankine"), 0.0),
+    ]),
+    # --- Currency (reference surface: Units/Currency.txt — identification
+    # ONLY: the reference file carries names + abbreviations and NO
+    # conversion rates (SubUnit.setConvertible(false)), so every rate is 1.0
+    # and base_value == value.  Codes/symbols are public ISO-4217 data. ---
+    "Currency": ("currency", [
+        ("usDollar", 1.0, ("$", "usd", "us$", "dollar", "dollars",
+                           "us dollar", "us dollars")),
+        ("euro", 1.0, ("€", "eur", "euro", "euros")),
+        ("poundSterling", 1.0, ("£", "gbp", "pound sterling",
+                                "british pound")),
+        ("japaneseYen", 1.0, ("¥", "jpy", "yen", "japanese yen")),
+        ("swissFranc", 1.0, ("chf", "swiss franc")),
+        ("canadianDollar", 1.0, ("cad", "c$", "canadian dollar")),
+        ("australianDollar", 1.0, ("aud", "a$", "australian dollar")),
+        ("renminbi", 1.0, ("cny", "rmb", "renminbi", "yuan")),
+        ("indianRupee", 1.0, ("inr", "₹", "indian rupee", "rupee", "rupees")),
+        ("russianRouble", 1.0, ("rub", "rur", "rouble", "ruble",
+                                "russian rouble")),
+        ("brazilianReal", 1.0, ("brl", "r$", "brazilian real")),
+        ("southKoreanWon", 1.0, ("krw", "₩", "won", "south korean won")),
+        ("mexicanPeso", 1.0, ("mxn", "mexican peso")),
+        ("southAfricanRand", 1.0, ("zar", "rand", "south african rand")),
+        ("swedishKrona", 1.0, ("sek", "kr", "swedish krona")),
+        ("norwegianKrone", 1.0, ("nok", "norwegian krone")),
+        ("danishKrone", 1.0, ("dkk", "danish krone")),
+        ("polishZloty", 1.0, ("pln", "zł", "zloty")),
+        ("czechKoruna", 1.0, ("czk", "kč", "czech koruna")),
+        ("hungarianForint", 1.0, ("huf", "forint")),
+        ("turkishLira", 1.0, ("try", "₺", "turkish lira", "lira")),
+        ("israeliNewSheqel", 1.0, ("ils", "₪", "sheqel", "shekel")),
+        ("singaporeDollar", 1.0, ("sgd", "s$", "singapore dollar")),
+        ("hongKongDollar", 1.0, ("hkd", "hk$", "hong kong dollar")),
+        ("newZealandDollar", 1.0, ("nzd", "nz$", "new zealand dollar")),
+        ("thaiBaht", 1.0, ("thb", "฿", "baht")),
+        ("indonesianRupiah", 1.0, ("idr", "rupiah")),
+        ("malaysianRinggit", 1.0, ("myr", "ringgit")),
+        ("philippinePeso", 1.0, ("php", "₱", "philippine peso")),
+        ("vietnameseDong", 1.0, ("vnd", "₫", "dong")),
+        ("pakistaniRupee", 1.0, ("pkr", "pakistani rupee")),
+        ("bangladeshiTaka", 1.0, ("bdt", "৳", "taka")),
+        ("nigerianNaira", 1.0, ("ngn", "₦", "naira")),
+        ("egyptianPound", 1.0, ("egp", "egyptian pound")),
+        ("kenyanShilling", 1.0, ("kes", "kenyan shilling")),
+        ("saudiRiyal", 1.0, ("sar", "saudi riyal", "riyal")),
+        ("uaeDirham", 1.0, ("aed", "dirham", "united arab emirates dirham")),
+        ("qatariRial", 1.0, ("qar", "qatari rial")),
+        ("kuwaitiDinar", 1.0, ("kwd", "kuwaiti dinar")),
+        ("chileanPeso", 1.0, ("clp", "chilean peso")),
+        ("argentinePeso", 1.0, ("ars", "argentine peso")),
+        ("colombianPeso", 1.0, ("cop", "colombian peso")),
+        ("peruvianSol", 1.0, ("pen", "nuevo sol", "sol")),
+        ("ukrainianHryvnia", 1.0, ("uah", "₴", "hryvnia")),
+        ("romanianLeu", 1.0, ("ron", "romanian new leu")),
+        ("bulgarianLev", 1.0, ("bgn", "bulgarian lev", "lev")),
+        ("croatianKuna", 1.0, ("hrk", "croatian kuna", "kuna")),
+        ("icelandKrona", 1.0, ("isk", "iceland krona")),
+        ("taiwanDollar", 1.0, ("twd", "nt$", "new taiwan dollar")),
+    ]),
 }
 
 # abbreviation (lowercase, spaces stripped) -> SubUnit
 _ABBR_TO_SUBUNIT: dict[str, SubUnit] = {}
 for _family, (_base, _subs) in _UNIT_TABLES.items():
-    for _name, _rate, _abbrs in _subs:
+    for _entry in _subs:
+        _name, _rate, _abbrs = _entry[0], _entry[1], tuple(_entry[2])
+        _offset = _entry[3] if len(_entry) > 3 else 0.0
         su = SubUnit(name=_name, family=_family, base_name=_base, rate=_rate,
-                     abbreviations=tuple(_abbrs))
+                     abbreviations=tuple(_abbrs), offset=_offset)
         for _a in _abbrs + (_name.lower(),):
             key = _a.lower().replace(" ", "")
             # first writer wins so earlier families take precedence on clashes
@@ -261,7 +339,8 @@ def _parse_unit_text(text: str) -> ParsedUnit | None:
         return None
     if negative:
         value = -value
-    return ParsedUnit(subunit=su, value=value, base_value=value * su.rate)
+    return ParsedUnit(subunit=su, value=value,
+                      base_value=(value + su.offset) * su.rate)
 
 
 _HEADER_BRACKET_RE = re.compile(r".*\((.*?)\).*")

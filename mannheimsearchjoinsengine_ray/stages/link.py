@@ -201,7 +201,10 @@ def aggregate_edges(edges_ds, left_total_mentions: int,
     ranking modes (ScoreEvaluator.assessJoinResult :48-122):
       queryTableCoverage           = count * avgScore / leftDistinct
       entityTableCoverage          = count * avgScore / rightCardinality
-      queryEntitySum               = count * avgScore
+      queryEntitySum               = count * avgScore / rightCardinality
+                                     (the reference case dead-stores its sum
+                                     and falls into the entityTableCoverage
+                                     expression — quirk preserved)
       queryTableCoverageNormalized = (sumScore / joinPairs) / (maxScore /
                                      maxJoins), with joinPairs bumped to
                                      leftDistinct when count < 30 % of it
@@ -269,7 +272,12 @@ def aggregate_edges(edges_ds, left_total_mentions: int,
     if ranking == "queryTableCoverage":
         df["rank"] = df["count"] * df["avg_score"] / left_card
     elif ranking == "queryEntitySum":
-        df["rank"] = df["count"] * df["avg_score"]
+        # reference quirk kept: the queryEntitySum case DEAD-STORES its sum
+        # expression and immediately overwrites with count*avg/rightCard
+        # (ScoreEvaluator.java:62-65), so the mode behaves exactly like
+        # entityTableCoverage
+        df["rank"] = df["count"] * df["avg_score"] / \
+            df["right_cardinality"].clip(lower=1)
     elif ranking == "entityTableCoverage":
         df["rank"] = df["count"] * df["avg_score"] / \
             df["right_cardinality"].clip(lower=1)

@@ -119,7 +119,32 @@ def match_strings(header_a: str, header_b: str) -> float:
         price = WORDNET_SYNSET_MATCH_SCORE
     elif wordnet.phrase_related(a) & wordnet.phrase_related(b):
         price = WORDNET_SYNSET_MATCH_SCORE
+    elif price == 1.0 and (not syn_a or not syn_b):
+        # word-ngram fallback (LabelBasedComparer.java:151-165 via
+        # populateNgramList :297-315): a phrase the dictionary doesn't know
+        # gets a synonym list built from its 1-2-word grams — and since a
+        # dictionary's synset contains the word itself, two multi-word
+        # headers sharing any >2-char word (or any gram-synonym) take the
+        # synset multiplier
+        ga = _word_gram_synsets(a, wordnet) if not syn_a else syn_a
+        gb = _word_gram_synsets(b, wordnet) if not syn_b else syn_b
+        if ga & gb:
+            price = WORDNET_SYNSET_MATCH_SCORE
     return jaccard_ngram(a, b) * price if a != b else price
+
+
+def _word_gram_synsets(phrase: str, wordnet) -> set[str]:
+    """1-2-word grams of length > 2, each expanded with its own synonyms +
+    hypernyms and itself (the reference's populateNgramList, with exact
+    overlap standing in for its Levenshtein-threshold list match)."""
+    words = [w for w in phrase.split() if len(w) > 2]
+    grams = list(words) + [f"{x} {y}" for x, y in zip(words, words[1:])]
+    out: set[str] = set()
+    for g in grams:
+        out.add(g)
+        out |= wordnet.phrase_synonyms(g)
+        out |= wordnet.phrase_related(g)
+    return out
 
 
 def label_similarity(header_a: str, header_b: str) -> float:
@@ -223,6 +248,7 @@ PAIR_SCORE_SCHEMA = pa.schema([
     ("count", pa.int64()),
     ("complement", pa.int64()),
     ("label_score", pa.float64()),
+    ("wordnet_label_score", pa.float64()),
 ])
 
 
@@ -248,6 +274,11 @@ def score_pairs_batch(df: pd.DataFrame,
         out["count"].append(csv.count)
         out["complement"].append(csv.complement)
         out["label_score"].append(label_similarity(r["left_header"], r["right_header"]))
+        # the raw matchStrings channel (ngram-Jaccard × WordNet tier) rides
+        # beside the 0..1 similarity — the reference's label-based matcher
+        # score (TablesLabeledBasedMatcher.calculateScores)
+        out["wordnet_label_score"].append(
+            match_strings(r["left_header"], r["right_header"]))
     return pd.DataFrame(out)
 
 

@@ -203,6 +203,52 @@ class TestUnits:
         assert vote_column_type(["50Hz", "60 Hz", "45Hz", "50Hz", "60Hz"],
                                 "frequency", use_unit=True) == "unit"
 
+    @pytest.mark.parametrize("text,base,want,name", [
+        # Temperature (Units/Temperature.txt surface; offset-aware
+        # K = (value + offset) * rate -- the file ships rate/offset pairs
+        # the reference loader never wires)
+        ("25°C", "kelvin", 298.15, "degreeCelsius"),
+        ("-40 °C", "kelvin", 233.15, "degreeCelsius"),
+        ("32 °F", "kelvin", 273.15, "degreeFahrenheit"),
+        ("212 F", "kelvin", 373.15, "degreeFahrenheit"),
+        ("491.67 °R", "kelvin", 273.15, "degreeRankine"),
+        ("300 kelvin", "kelvin", 300.0, "kelvin"),
+    ])
+    def test_temperature(self, text, base, want, name):
+        pu = units.parse_unit(text)
+        assert pu is not None, text
+        assert pu.base_unit == base and pu.subunit.name == name
+        assert pu.base_value == pytest.approx(want)
+
+    @pytest.mark.parametrize("text,value,name", [
+        # Currency (Units/Currency.txt surface: identification only, no
+        # conversion rates in the reference data file -> base_value == value;
+        # "$1,200" hits the European-decimal ','->'.' parity quirk)
+        ("$1,200", 1.2, "usDollar"),
+        ("$450", 450.0, "usDollar"),
+        ("99 EUR", 99.0, "euro"),
+        ("£15", 15.0, "poundSterling"),
+        ("1200 ¥", 1200.0, "japaneseYen"),
+        ("45 CHF", 45.0, "swissFranc"),
+        ("2500 INR", 2500.0, "indianRupee"),
+    ])
+    def test_currency(self, text, value, name):
+        pu = units.parse_unit(text)
+        assert pu is not None, text
+        assert pu.subunit.family == "Currency" and pu.subunit.name == name
+        assert pu.base_value == pytest.approx(value)
+        assert pu.value == pytest.approx(value)
+
+    def test_currency_temperature_vote_unit_type(self):
+        from mannheimsearchjoinsengine_ray.functions.typeguess import vote_column_type
+
+        assert vote_column_type(["$12", "$99", "$4,5", "$7", "$1200"],
+                                "price", use_unit=True) == "unit"
+        assert vote_column_type(["25°C", "18 °C", "-3°C", "30 °C", "12°C"],
+                                "temp", use_unit=True) == "unit"
+        # 'k' precedence unchanged: bare k is still Numbers/thousand
+        assert units.parse_unit("300k").subunit.name == "thousand"
+
 
 class TestTypeGuess:
     def test_reference_main_examples(self):

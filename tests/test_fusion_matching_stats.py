@@ -257,3 +257,25 @@ class TestStats:
         out = S.header_frequencies(rd.from_arrow(batch)).to_pandas()
         m = dict(zip(out["header"], out["frequency"]))
         assert m["name"] == 2 and m["pop"] == 1
+
+
+def test_match_strings_word_gram_fallback():
+    """Out-of-lexicon multi-word headers sharing a >2-char word take the
+    x2.0 synset multiplier (LabelBasedComparer.java:151-165 fallback via
+    populateNgramList — a dictionary synset contains the word itself)."""
+    import pytest as _pytest
+
+    from mannheimsearchjoinsengine_ray.stages import matching as M
+    from mannheimsearchjoinsengine_ray.stages.matching import jaccard_ngram
+    from mannheimsearchjoinsengine_ray.functions.normalize import clear_string
+
+    a, b = "zzqx frequency", "zzqx ratio"   # out-of-lexicon phrases, shared word
+    ca, cb = clear_string(a, False), clear_string(b, False)
+    got = M.match_strings(a, b)
+    assert got == _pytest.approx(
+        jaccard_ngram(ca, cb) * M.WORDNET_SYNSET_MATCH_SCORE)
+    # no shared word, no synonyms -> x1.0
+    base = M.match_strings("zzqx alpha", "wwvk beta")
+    assert base == _pytest.approx(
+        jaccard_ngram(clear_string("zzqx alpha", False),
+                      clear_string("wwvk beta", False)))

@@ -247,9 +247,14 @@ class TestRankingModes:
         assert df.loc["TB", "rank"] == pytest.approx(1 * 8.0 / 1)
 
     def test_query_entity_sum(self, edges):
+        # reference quirk: the queryEntitySum switch case dead-stores its
+        # sum expression and overwrites with count*avg/rightCardinality
+        # (ScoreEvaluator.java:62-65) — the mode IS entityTableCoverage
         df = self.get(edges, "queryEntitySum")
-        assert df.loc["TA", "rank"] == pytest.approx(3 * 2.0)
-        assert df.loc["TB", "rank"] == pytest.approx(8.0)
+        assert df.loc["TA", "rank"] == pytest.approx(3 * 2.0 / 2)
+        assert df.loc["TB", "rank"] == pytest.approx(8.0 / 1)
+        etc = self.get(edges, "entityTableCoverage")
+        assert (df["rank"] == etc["rank"]).all()
 
     def test_normalized_with_penalty_and_max(self, edges):
         # maxScore = max sum_score = 8 (group B), maxJoins = its count = 1
