@@ -165,6 +165,104 @@ hurriyet.com.tr sabah.com.tr folha.uol.com.br globo.com clarin.com
 lanacion.com.ar eluniversal.com.mx milenio.com emol.com latercera.com
 """.split()
 
+# extension toward the reference map's ~1000-entry breadth (DomainUtils.java
+# :187-1196) — still OUR OWN data: globally popular sites by category
+# (public knowledge), same token scheme
+_POPULAR_PLDS += """
+harvard.edu mit.edu stanford.edu berkeley.edu ox.ac.uk cam.ac.uk yale.edu
+princeton.edu columbia.edu cornell.edu ucla.edu umich.edu utexas.edu
+uchicago.edu upenn.edu caltech.edu cmu.edu nyu.edu bu.edu northwestern.edu
+gatech.edu uw.edu wisc.edu umn.edu osu.edu psu.edu purdue.edu illinois.edu
+ucdavis.edu ucsd.edu uci.edu usc.edu duke.edu jhu.edu rice.edu emory.edu
+vanderbilt.edu georgetown.edu ethz.ch epfl.ch tum.de lmu.de hu-berlin.de
+fu-berlin.de uni-heidelberg.de uni-muenchen.de kit.edu rwth-aachen.de
+uva.nl tudelft.nl uu.nl kuleuven.be ugent.be sorbonne-universite.fr
+ens.fr polytechnique.edu uzh.ch unige.ch utoronto.ca ubc.ca mcgill.ca
+ualberta.ca anu.edu.au unimelb.edu.au sydney.edu.au unsw.edu.au uq.edu.au
+auckland.ac.nz nus.edu.sg ntu.edu.sg u-tokyo.ac.jp kyoto-u.ac.jp
+tsinghua.edu.cn pku.edu.cn fudan.edu.cn sjtu.edu.cn snu.ac.kr kaist.ac.kr
+iitb.ac.in iitd.ac.in iisc.ac.in unam.mx usp.br unicamp.br uba.ar uct.ac.za
+whitehouse.gov senate.gov house.gov congress.gov supremecourt.gov state.gov
+treasury.gov justice.gov defense.gov ed.gov energy.gov epa.gov fda.gov
+irs.gov ssa.gov usps.com uscis.gov usda.gov commerce.gov labor.gov dot.gov
+hud.gov va.gov dhs.gov fbi.gov cia.gov nsa.gov sec.gov ftc.gov fcc.gov
+loc.gov archives.gov usgs.gov census.gov bls.gov gao.gov gpo.gov nps.gov
+gov.uk parliament.uk royal.uk nhs.uk metoffice.gov.uk ons.gov.uk
+bundesregierung.de bundestag.de gouvernement.fr assemblee-nationale.fr
+governo.it camera.it lamoncloa.gob.es congreso.es government.nl canada.ca
+gc.ca australia.gov.au govt.nz gov.in india.gov.in gov.cn japan.go.jp
+go.kr gov.br gob.mx gov.za kremlin.ru ecb.europa.eu imf.org worldbank.org
+oecd.org wto.org unesco.org unicef.org redcross.org amnesty.org hrw.org
+greenpeace.org wwf.org icrc.org msf.org oxfam.org
+chase.com bankofamerica.com wellsfargo.com citibank.com citigroup.com
+goldmansachs.com morganstanley.com jpmorgan.com usbank.com pnc.com
+capitalone.com americanexpress.com visa.com mastercard.com discover.com
+schwab.com fidelity.com vanguard.com blackrock.com statestreet.com
+hsbc.com barclays.com lloydsbank.com natwest.com santander.com bbva.com
+deutsche-bank.de commerzbank.de bnpparibas.com societegenerale.com
+credit-agricole.com unicredit.it intesasanpaolo.com ing.com rabobank.com
+ubs.com creditsuisse.com nordea.com danskebank.com seb.se swedbank.com
+rbc.com td.com scotiabank.com bmo.com cibc.com anz.com westpac.com.au
+nab.com.au commbank.com.au dbs.com.sg ocbc.com icbc.com.cn ccb.com
+boc.cn mufg.jp smbc.co.jp mizuhobank.com sberbank.ru itau.com.br
+bradesco.com.br robinhood.com coinbase.com binance.com kraken.com
+stripe.com square.com wise.com revolut.com klarna.com venmo.com
+costco.com homedepot.com lowes.com ikea.com wayfair.com overstock.com
+macys.com nordstrom.com kohls.com jcpenney.com sears.com gap.com
+oldnavy.com hm.com zara.com uniqlo.com shein.com asos.com zalando.de
+nike.com adidas.com puma.com underarmour.com reebok.com newbalance.com
+lululemon.com patagonia.com northface.com columbia.com rei.com
+sephora.com ulta.com cvs.com walgreens.com riteaid.com gnc.com
+kroger.com safeway.com albertsons.com publix.com wholefoodsmarket.com
+traderjoes.com aldi.com lidl.com tesco.com sainsburys.co.uk asda.com
+morrisons.com waitrose.com carrefour.com auchan.fr leclerc.fr edeka.de
+rewe.de kaufland.de mercadolibre.com rakuten.co.jp flipkart.com
+myntra.com snapdeal.com lazada.com shopee.com tokopedia.com coupang.com
+gmarket.co.kr pinduoduo.com meituan.com dianping.com temu.com wish.com
+newegg.com bhphotovideo.com microcenter.com autozone.com oreillyauto.com
+carmax.com carvana.com autotrader.com cars.com edmunds.com kbb.com
+verizon.com att.com t-mobile.com sprint.com vodafone.com o2.co.uk ee.co.uk
+three.co.uk orange.com orange.fr telefonica.com movistar.es telekom.de
+o2online.de swisscom.ch telia.se telenor.com kpn.com proximus.be
+rogers.com bell.ca telus.com optus.com.au telstra.com.au airtel.in jio.com
+bsnl.co.in chinamobile.com chinaunicom.com ntt.com softbank.jp kddi.com
+skt.co.kr kt.com comcast.com xfinity.com spectrum.com cox.com
+centurylink.com frontier.com dish.com directv.com sling.com hulu.com
+disneyplus.com hbomax.com max.com paramountplus.com peacocktv.com
+crunchyroll.com funimation.com dazn.com fubo.tv tubitv.com plutotv.com
+pandora.com deezer.com tidal.com audible.com scribd.com kindle.com
+barnesandnoble.com abebooks.com bookdepository.com audiobooks.com
+mayoclinic.org clevelandclinic.org hopkinsmedicine.org webmd.com
+healthline.com medlineplus.gov drugs.com rxlist.com everydayhealth.com
+psychologytoday.com verywellmind.com verywellhealth.com medscape.com
+thelancet.com nejm.org bmj.com jamanetwork.com cell.com pnas.org
+plos.org frontiersin.org mdpi.com elsevier.com tandfonline.com sage.com
+ieee.org acm.org aps.org acs.org rsc.org nist.gov esa.int cern.ch
+spacex.com blueorigin.com boeing.com airbus.com lockheedmartin.com
+northropgrumman.com raytheon.com generaldynamics.com ge.com honeywell.com
+3m.com caterpillar.com johndeere.com cummins.com emerson.com abb.com
+schneider-electric.com mitsubishi.com hitachi.com toshiba.com fujitsu.com
+nec.com sharp.com kyocera.com canon.com nikon.com olympus.com fujifilm.com
+gopro.com dji.com xiaomi.com huawei.com oppo.com vivo.com oneplus.com
+realme.com motorola.com nokia.com ericsson.com qualcomm.com broadcom.com
+micron.com skhynix.com tsmc.com asml.com arm.com mediatek.com
+allrecipes.com foodnetwork.com epicurious.com bonappetit.com seriouseats.com
+simplyrecipes.com tasteofhome.com delish.com food.com yummly.com
+bbcgoodfood.com jamieoliver.com marthastewart.com kingarthurbaking.com
+myfitnesspal.com fitbit.com strava.com garmin.com polar.com nikerunclub.com
+peloton.com planetfitness.com 24hourfitness.com goldsgym.com crossfit.com
+yogajournal.com runnersworld.com menshealth.com womenshealthmag.com
+shape.com self.com prevention.com healthgrades.com zocdoc.com goodrx.com
+pets.com chewy.com petco.com petsmart.com rover.com akc.org aspca.org
+zara.es mango.com primark.com next.co.uk marksandspencer.com johnlewis.com
+argos.co.uk currys.co.uk very.co.uk boots.com superdrug.com harrods.com
+selfridges.com libertylondon.com fortnum.com debenhams.com
+houseoffraser.co.uk sportsdirect.com jdsports.co.uk
+""".split()
+
+# defensive dedupe (first occurrence keeps the lower token number)
+_POPULAR_PLDS = list(dict.fromkeys(_POPULAR_PLDS))
+
 reduction_map: dict[str, str] = {
     pld: f"#{i:03d}#" for i, pld in enumerate(_POPULAR_PLDS)
 }

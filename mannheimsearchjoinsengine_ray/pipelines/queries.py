@@ -1087,13 +1087,67 @@ def q_kg_clean_tables(sf_dir: str):
     return df.sort_values(["url", "table_idx"]).head(200).reset_index(drop=True)
 
 
+# raw KG intermediates persisted for the DuckDB oracle: a FIXED path the
+# static oracle SQL can reference, atomically replaced (tmp dir + rename)
+# whenever the corpus key changes.  The Ray query and the SQL oracle then
+# aggregate the SAME raw parquet independently — the aggregation is what the
+# hash compare certifies (extraction itself is pinned by the triple goldens).
+_KG_ORACLE_BASE = "/tmp/graft_kg_oracle"
+
+
+def _persist_kg_raw(sf_dir: str, kind: str) -> str:
+    import os
+    import shutil
+
+    from .kg import extract_tables_ds, pages_to_triples, read_pages
+
+    corpus = corpus_for(sf_dir)
+    key = os.path.basename(corpus.rstrip("/"))
+    os.makedirs(_KG_ORACLE_BASE, exist_ok=True)
+    out_dir = os.path.join(_KG_ORACLE_BASE, kind)
+    marker = out_dir + ".key"
+    if os.path.isdir(out_dir) and os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == key:
+                return out_dir
+    tmp_dir = out_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    if kind == "subjects":
+        ds = pages_to_triples(corpus).map_batches(
+            lambda t: pa.table({"subj": t["subj"]}), batch_format="pyarrow")
+    elif kind == "headers":
+        def explode(t: pa.Table) -> pa.Table:
+            headers: list[str] = []
+            for hs in t.column("headers").to_pylist():
+                headers.extend(hs)
+            return pa.table({"header": pa.array(headers, pa.string())})
+
+        ds = extract_tables_ds(read_pages(corpus, columns=["url", "html"])) \
+            .map_batches(explode, batch_format="pyarrow")
+    else:
+        raise ValueError(kind)
+    ds.write_parquet(tmp_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp_dir, out_dir)
+    with open(marker + ".tmp", "w") as fh:
+        fh.write(key)
+    os.replace(marker + ".tmp", marker)
+    return out_dir
+
+
 def q_kg_values_per_subject(sf_dir: str):
     """Distribution of values per key (DistributionOfValuesPerKey analog)
-    over the KG triples.  Rows-only oracle."""
-    from .kg import pages_to_triples
-    from ..stages.stats import values_per_key_distribution
+    over the KG triples: # triples per subject via two-phase aggregation.
+    SQL-oracled: the raw subject column persists to a fixed parquet path and
+    DuckDB recomputes the same GROUP BY independently."""
+    import ray.data as rd
 
-    return values_per_key_distribution(pages_to_triples(corpus_for(sf_dir)))
+    from ..stages.aggregates import two_phase_agg
+
+    path = _persist_kg_raw(sf_dir, "subjects")
+    out = two_phase_agg(rd.read_parquet(path), ["subj"],
+                        {"n_values": (None, "count")}).to_pandas()
+    return out.astype({"n_values": "int64"})
 
 
 def q_kg_link_columns(sf_dir: str):
@@ -1107,12 +1161,17 @@ def q_kg_link_columns(sf_dir: str):
 
 
 def q_kg_header_frequencies(sf_dir: str):
-    """Header frequency distribution over extracted web tables.  Rows-only."""
-    from .kg import extract_tables_ds, read_pages
-    from ..stages.stats import header_frequencies
+    """Header frequency distribution over extracted web tables
+    (TableStatsAnalyzer).  SQL-oracled via the persisted exploded-header
+    parquet (see _persist_kg_raw)."""
+    import ray.data as rd
 
-    pages = read_pages(corpus_for(sf_dir), columns=["url", "html"])
-    return header_frequencies(extract_tables_ds(pages))
+    from ..stages.aggregates import two_phase_agg
+
+    path = _persist_kg_raw(sf_dir, "headers")
+    out = two_phase_agg(rd.read_parquet(path), ["header"],
+                        {"frequency": (None, "count")}).to_pandas()
+    return out.astype({"frequency": "int64"})
 
 
 ORACLE_SQL: dict[str, str] = {
@@ -1305,6 +1364,19 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents
         WHERE lang = 'en' AND n_chars BETWEEN 100 AND 20000
         GROUP BY source
+    """,
+    # the two KG aggregates read the raw intermediates the query persisted
+    # (fixed path, atomically replaced per corpus) and recompute the GROUP BY
+    # independently in DuckDB — see _persist_kg_raw
+    "kg_values_per_subject": """
+        SELECT subj, COUNT(*) AS n_values
+        FROM read_parquet('/tmp/graft_kg_oracle/subjects/*.parquet')
+        GROUP BY subj
+    """,
+    "kg_header_frequencies": """
+        SELECT header, COUNT(*) AS frequency
+        FROM read_parquet('/tmp/graft_kg_oracle/headers/*.parquet')
+        GROUP BY header
     """,
 }
 

@@ -387,3 +387,43 @@ class TestTextStats:
         fp2 = textstats.winnow_fingerprint("the quick brown fox jumps over the lazy dog" * 3)
         assert (fp1 == fp2).all()
         assert fp1.size > 0
+
+
+class TestBreadthExtensions:
+    def test_pld_map_breadth_roundtrip(self):
+        """Round-3 widened reduction map: >= 800 entries, every one of them
+        compress/uncompress round-trips with scheme + www + subdomain."""
+        from mannheimsearchjoinsengine_ray.functions import domains as D
+
+        assert len(D.reduction_map) >= 800
+        assert len(D.reduction_map) <= 1000  # #NNN# token space
+        for pld in list(D.reduction_map)[::7]:  # every 7th (speed)
+            for url in (f"http://{pld}/x/y", f"https://www.{pld}/a?b=1"):
+                assert D.uncompress_url(D.compress_url(url)) == url
+
+    @pytest.mark.parametrize("a,b", [
+        ("address", "location"), ("phone", "telephone"), ("email", "mail"),
+        ("province", "district"), ("percentage", "share"),
+        ("growth", "increase"), ("decline", "decrease"),
+        ("award", "prize"), ("parliament", "congress"),
+        ("war", "conflict"), ("treaty", "agreement"),
+        ("religion", "faith"), ("stadium", "arena"),
+        ("league", "division"), ("tournament", "championship"),
+        ("tax", "duty"), ("customer", "client"), ("seller", "vendor"),
+        ("product", "item"), ("topic", "subject"),
+    ])
+    def test_new_synonym_pairs_label_match(self, a, b):
+        from mannheimsearchjoinsengine_ray.stages import matching as M
+
+        assert M.label_similarity(a, b) >= 0.85
+        from mannheimsearchjoinsengine_ray.stages.matching import jaccard_ngram
+        assert M.match_strings(a, b) == pytest.approx(
+            jaccard_ngram(a, b) * M.WORDNET_SYNSET_MATCH_SCORE)
+
+    def test_new_hypernym_channel(self):
+        from mannheimsearchjoinsengine_ray.stages import matching as M
+
+        # siblings under a shared hypernym take the related tier
+        assert M.label_similarity("football", "cricket") >= 0.7
+        assert M.label_similarity("gold", "copper") >= 0.7
+        assert M.label_similarity("yen", "rupee") >= 0.7

@@ -269,7 +269,7 @@ def test_match_strings_word_gram_fallback():
     from mannheimsearchjoinsengine_ray.stages.matching import jaccard_ngram
     from mannheimsearchjoinsengine_ray.functions.normalize import clear_string
 
-    a, b = "zzqx frequency", "zzqx ratio"   # out-of-lexicon phrases, shared word
+    a, b = "zzqx flimmer", "zzqx blarp"   # out-of-lexicon phrases, shared word
     ca, cb = clear_string(a, False), clear_string(b, False)
     got = M.match_strings(a, b)
     assert got == _pytest.approx(
