@@ -100,7 +100,9 @@ def test_seed_dma_and_attribute_filter(ray_session, tables_ds):
     assert set(seeds["vt_id"]) == {"u1#0#1", "u2#0#1", "u3#0#1"}
     # DMA = overlap / min(|keys|, rows) = 2/2 for the population tables
     two_key = seeds[seeds["vt_id"] != "u3#0#1"]
-    assert (two_key["dma"] == pytest.approx(1.0)).all()
+    # dma is real float64 now (join dtype restore) — compare numerically;
+    # the old `== pytest.approx` only "passed" on the object-typed column
+    assert np.allclose(two_key["dma"].astype(float), 1.0)
     # the height table never matches the attribute
     assert "u4#0#1" not in set(seeds["vt_id"])
     # synonym channel: 'inhabitants' answers for 'population'
