@@ -442,3 +442,59 @@ def test_canonicalize_triples_rewrites_subjects(ray_session):
     # uri objects rewritten too
     see = out[out["pred"] == "http://x/seeAlso"]
     assert (see["obj"] == "http://x/GrandHotel").all()
+
+
+def test_linker_vectorized_equals_per_row(ray_session, tmp_path):
+    """The batch-vectorized LinkerActor.__call__ must emit exactly the edges
+    of a straightforward per-row loop over the same cached index state —
+    same rows, same order."""
+    import pyarrow as pa
+
+    from mannheimsearchjoinsengine_ray.sources import pages as P
+    from mannheimsearchjoinsengine_ray.state.index import build_index
+    import ray.data as rd
+
+    index_dir = str(tmp_path / "idx_vec")
+    gaz = rd.from_arrow(pa.table(P.make_gazetteer(60)))
+    build_index(gaz, index_dir, num_shards=2)
+
+    labels = [P.entity_label(i) for i in range(40)]
+    # mix: repeats (cache/factorize path), misspellings (fuzzy), context
+    mentions = labels + labels[:10] + [l + "x" for l in labels[:5]]
+    ctxs = [""] * len(labels) + ["red\x1f42\x1fblue"] * 10 + [""] * 5
+    batch = pa.table({
+        "url": ["u"] * len(mentions),
+        "table_idx": pa.array([0] * len(mentions), pa.int32()),
+        "row_idx": pa.array(list(range(len(mentions))), pa.int32()),
+        "mention": mentions,
+        "context": ctxs,
+    })
+    actor = L.LinkerActor(index_dir, top_k=3, refine_factor=0.5)
+    got = actor(batch).to_pandas()
+
+    # reference per-row loop on a FRESH actor (same index, no shared cache)
+    ref_actor = L.LinkerActor(index_dir, top_k=3, refine_factor=0.5)
+    rows = {c: [] for c in got.columns}
+    for i, (m, ctx) in enumerate(zip(mentions, ctxs)):
+        scored, base_hits, gap, has_attrs = ref_actor._entry_for(m)
+        hits = base_hits
+        if ctx and has_attrs:
+            n_cells = ctx.count("\x1f") + 1
+            if n_cells and gap <= 0.5 * n_cells:
+                hits = ref_actor.index.finalize(scored, 3,
+                                                context=ctx.split("\x1f"),
+                                                refine_factor=0.5)
+        for rank, (uri, score, name, etype) in enumerate(hits):
+            rows["url"].append("u")
+            rows["table_idx"].append(0)
+            rows["row_idx"].append(i)
+            rows["mention"].append(m)
+            rows["entity_uri"].append(uri)
+            rows["score"].append(score)
+            rows["rank"].append(rank)
+            rows["matched_name"].append(name)
+            rows["entity_type"].append(etype)
+    want = pd.DataFrame(rows)
+    assert len(got) == len(want)
+    for c in got.columns:
+        assert list(got[c]) == list(want[c]), c
