@@ -1145,8 +1145,11 @@ def q_kg_values_per_subject(sf_dir: str):
     from ..stages.aggregates import two_phase_agg
 
     path = _persist_kg_raw(sf_dir, "subjects")
+    # subject cardinality is corpus-sized — final_blocks=None sizes the
+    # final reduce from measured partial bytes instead of a fixed 8
     out = two_phase_agg(rd.read_parquet(path), ["subj"],
-                        {"n_values": (None, "count")}).to_pandas()
+                        {"n_values": (None, "count")},
+                        final_blocks=None).to_pandas()
     return out.astype({"n_values": "int64"})
 
 

@@ -17,16 +17,35 @@ from __future__ import annotations
 import pandas as pd
 
 
-def dedupe_by_key(ds, key: str, num_buckets: int = 32):
+def _auto_block_count(ds, target_bytes: int = 64 << 20,
+                      lo: int = 8, hi: int = 4096) -> int:
+    """Bucket/block count from measured bytes of a MATERIALIZED dataset —
+    a fixed 8/32 caps reduce parallelism and requires each bucket to fit one
+    worker's heap at any scale."""
+    import numpy as np
+
+    total = ds.size_bytes() or 0
+    b = 1 << int(np.ceil(np.log2(max(1.0, total / target_bytes))))
+    return int(np.clip(b, lo, hi))
+
+
+def dedupe_by_key(ds, key: str, num_buckets: int | None = 32):
     """Global distinct-by-key with a LOW-cardinality shuffle: per-batch
     drop_duplicates (map-side combine) → bucket = hash(key) % B →
     groupby(bucket).map_groups(drop_duplicates).  B groups regardless of key
     cardinality — the per-group overhead of a high-cardinality groupby never
     appears.  First row per key wins within a bucket (deterministic given
-    deterministic upstream order per key)."""
+    deterministic upstream order per key).  ``num_buckets=None`` derives B
+    from the measured per-batch-deduped size (materializes that pass)."""
     import numpy as np
 
     from ..functions.hashing import hash64
+
+    if num_buckets is None:
+        deduped = ds.map_batches(lambda df: df.drop_duplicates(key),
+                                 batch_format="pandas").materialize()
+        num_buckets = _auto_block_count(deduped)
+        ds = deduped  # second drop_duplicates below is a no-op but harmless
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(key)
@@ -41,7 +60,7 @@ def dedupe_by_key(ds, key: str, num_buckets: int = 32):
 
 
 def two_phase_agg(ds, keys: list[str], spec: dict[str, tuple[str | None, str]],
-                  final_blocks: int = 8):
+                  final_blocks: int | None = 8):
     """spec: output_name -> (input_column | None, fn); fn ∈ {sum,count,min,max,mean}.
 
     Returns a Dataset with columns keys + list(spec).
@@ -49,7 +68,10 @@ def two_phase_agg(ds, keys: list[str], spec: dict[str, tuple[str | None, str]],
     ``final_blocks``: partials are coalesced to this many blocks before the
     final groupby — Ray's sort shuffle schedules one reduce task per input
     block, so hundreds of tiny partial blocks would pay hundreds of task
-    overheads for kilobytes of data.
+    overheads for kilobytes of data.  Pass ``None`` to derive the count from
+    the MEASURED partial bytes (materializes the partials) — the right mode
+    when the group-key cardinality is corpus-sized (e.g. per-subject counts)
+    and a fixed 8 would cap reduce parallelism.
     """
     sum_cols: dict[str, str] = {}
     min_cols: dict[str, str] = {}
@@ -89,6 +111,9 @@ def two_phase_agg(ds, keys: list[str], spec: dict[str, tuple[str | None, str]],
     from ray.data.aggregate import Max, Min, Sum
 
     partials = ds.map_batches(partial, batch_format="pandas")
+    if final_blocks is None:
+        partials = partials.materialize()
+        final_blocks = _auto_block_count(partials)
     if final_blocks:
         partials = partials.repartition(final_blocks)
     aggs = []

@@ -596,7 +596,9 @@ def alias_edges_from_labels(labels_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     candidate_pairs) survive."""
     from .aggregates import dedupe_by_key
 
-    labels = dedupe_by_key(labels_ds, "id", num_buckets=32)
+    # label-id cardinality is corpus-sized on the distributed path —
+    # num_buckets=None derives B from the measured per-batch-deduped bytes
+    labels = dedupe_by_key(labels_ds, "id", num_buckets=None)
     blocked = labels.map_batches(
         lsh_block_batch,
         fn_kwargs={"num_perm": cfg.minhash_num_perm,

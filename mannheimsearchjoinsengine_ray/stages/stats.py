@@ -37,15 +37,19 @@ def values_per_key_distribution(triples_ds):
 
 
 def tables_per_key_distribution(mentions_ds):
-    """# distinct source tables per mention (DistributionOfTablesPerKey)."""
+    """# distinct source tables per mention (DistributionOfTablesPerKey).
+    Mention cardinality is corpus-sized, so the final merge goes through
+    two_phase_agg (map-side partials, coalesced final) — never a bare
+    high-cardinality groupby."""
+    from .aggregates import two_phase_agg
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["mention", "url", "table_idx"])
         return df.groupby("mention", sort=False).size().rename("n").reset_index()
 
-    from ray.data.aggregate import Sum
-
-    return mentions_ds.map_batches(partial, batch_format="pandas") \
-        .repartition(8).groupby("mention").aggregate(Sum("n", alias_name="n_tables"))
+    return two_phase_agg(
+        mentions_ds.map_batches(partial, batch_format="pandas"),
+        ["mention"], {"n_tables": ("n", "sum")})
 
 
 def header_frequencies(tables_ds):
