@@ -90,6 +90,25 @@ def run_bench() -> dict:
     }
 
 
+def machine_canary() -> float:
+    """Single-process extract of a fixed 1500-page slice — a machine-speed
+    probe recorded with every scaling run.  This container's throughput
+    varies >1.5x across hours (external co-tenancy, BASELINE.md #23);
+    reference ~3.4s on a fast machine.  Runs take the probe BEFORE the
+    timed legs so contended sessions are identifiable in the record."""
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from mannheimsearchjoinsengine_ray.pipelines.queries import corpus_for
+    from mannheimsearchjoinsengine_ray.stages.extract import TableExtractor
+
+    corpus = corpus_for(SF_DIR)
+    t = pq.read_table(corpus, columns=["url", "html"]).slice(0, 1500)
+    t0 = time.perf_counter()
+    TableExtractor()(t)
+    return round(time.perf_counter() - t0, 2)
+
+
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -106,10 +125,12 @@ def run_scaling() -> dict:
     # be 4x of 8 on this hardware; see BASELINE.md measurement protocol)
     lo_n = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi_n = int(os.environ.get("GRAFT_SCALE_HI", "16"))
+    canary = machine_canary()
     lo, hi = one(lo_n), one(hi_n)
     eff = (lo["value"] / hi["value"]) / (hi_n / lo_n)
     return {
         "metric": "kg_pipeline_scaling",
+        "canary_sec": canary,
         f"sec_{lo_n}": lo["value"],
         f"sec_{hi_n}": hi["value"],
         f"tps_{lo_n}": lo["triples_per_sec"],
