@@ -110,14 +110,27 @@ def machine_canary() -> float:
 
 
 def run_scaling() -> dict:
+    pin = shutil.which("taskset") is not None and \
+        os.environ.get("GRAFT_SCALE_PIN", "1") != "0"
+
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         # larger input for the scaling runs: fixed per-stage overheads
         # (actor startup, shuffle scheduling) amortize, so the measurement
         # reflects the compute/shuffle scaling, not constant costs
         env.setdefault("GRAFT_BENCH_PAGES", "64000")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True, check=True)
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        # HARD-pin the whole process tree (driver + raylet + workers +
+        # object-store threads) to ncpu cores.  ray.init(num_cpus=N) only
+        # caps TASK SLOTS — Ray's system threads still borrow idle cores,
+        # which let the 4-CPU leg run 117-136s depending on machine
+        # idleness (unpinned efficiency band 0.68-0.81).  Affinity makes
+        # each leg a true N-core box, which is the point of the
+        # two-cluster-size emulation.
+        if pin:
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                             check=True)
         return json.loads(out.stdout.strip().splitlines()[-1])
 
     # 4 vs 16: a 4x parallelism factor that stays within this container's
@@ -131,6 +144,7 @@ def run_scaling() -> dict:
     return {
         "metric": "kg_pipeline_scaling",
         "canary_sec": canary,
+        "pinned": pin,
         f"sec_{lo_n}": lo["value"],
         f"sec_{hi_n}": hi["value"],
         f"tps_{lo_n}": lo["triples_per_sec"],

@@ -97,6 +97,8 @@ class PipelineConfig:
     batch_size: int = 4096               # rows per batch for page-level stages
     triple_batch_size: int = 65536       # rows per batch for triple-level stages
     linker_concurrency: int = 4          # actor pool size
+    link_broadcast_limit: int = 100_000  # distinct mentions broadcastable via
+    # ray.put; above it merge tasks fall back to per-worker resolution caches
     num_index_shards: int = 16           # hash(token) shards for the inverted index
     num_output_partitions: int = 16      # hash(subj) partitions of the triple sink
     cc_max_iterations: int = 50          # connected-components fixpoint cap

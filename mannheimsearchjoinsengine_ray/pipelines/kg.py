@@ -204,7 +204,12 @@ def run_full(pages_path: str, out_dir: str,
     import ray.data as rd
 
     from ..sources.pages import make_gazetteer
-    from ..stages.link import link_mentions, mentions_from_tables_batch, top1_links
+    from ..stages.link import (
+        distinct_mentions,
+        link_mentions,
+        mentions_from_tables_batch,
+        top1_links,
+    )
     from ..state.index import build_index
     import pyarrow as _pa
 
@@ -246,38 +251,41 @@ def run_full(pages_path: str, out_dir: str,
         for sub in ("edges", "labels"):
             _shutil.rmtree(os.path.join(shard_dir, sub), ignore_errors=True)
         pages = read_pages(frag_group, columns=["url", "html"])
+        _ts = time.time()
         tables = extract_tables_ds(pages, cfg).materialize()
+        metrics["extract_sec"] = metrics.get("extract_sec", 0.0) + time.time() - _ts
 
         # NOTE: running triples-materialize and linking as concurrent driver
-        # threads was measured SLOWER in aggregate — the linker actor pool
-        # reserves CPUs that starve the shuffle, and both stages are already
+        # threads was measured SLOWER in aggregate — both stages are already
         # CPU-saturating.  Sequential stages keep every slot busy and scale
         # cleanly (see BASELINE.md optimization log).
-        import dataclasses
-
-        import ray as _ray
-
-        ncpu = int(_ray.cluster_resources().get("CPU", 8))
-        link_cfg = cfg if cfg.linker_concurrency >= ncpu // 2 else \
-            dataclasses.replace(cfg, linker_concurrency=max(2, ncpu // 2))
-
+        _ts = time.time()
         triples = triples_ds(tables, cfg)
         part_stats = materialize_triples(
             triples, shard_dir, num_partitions=partitions_per_shard,
             fingerprint=";".join(os.path.basename(f) for f in frag_group))
+        metrics["triples_sec"] = metrics.get("triples_sec", 0.0) + time.time() - _ts
 
+        _ts = time.time()
         mentions = tables.map_batches(mentions_from_tables_batch,
                                       batch_format="pyarrow")
-        edges = top1_links(link_mentions(mentions, index_dir, link_cfg))
+        # distinct mention strings come straight from the table records —
+        # cheaper than re-running the context-building mention map for them
+        edges = top1_links(link_mentions(
+            mentions, index_dir, cfg,
+            distinct_ds=distinct_mentions(tables, from_tables=True)))
         edges.write_parquet(os.path.join(shard_dir, "edges"))
+        metrics["link_sec"] = metrics.get("link_sec", 0.0) + time.time() - _ts
         # label side-output: distinct (subject, label) pairs — the
         # canonicalization input, tiny vs the triples, so phase 2 never
         # re-scans the full triple set
         from ..stages.triples import label_pairs_from_tables_batch
 
+        _ts = time.time()
         labels = tables.map_batches(label_pairs_from_tables_batch,
                                     batch_format="pyarrow")
         labels.write_parquet(os.path.join(shard_dir, "labels"))
+        metrics["labels_sec"] = metrics.get("labels_sec", 0.0) + time.time() - _ts
         n_tr = sum(m["rows"] for m in part_stats)
         rows_triples += n_tr
         manifest = {"shard": si, "rows": n_tr,

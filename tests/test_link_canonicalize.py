@@ -498,3 +498,74 @@ def test_linker_vectorized_equals_per_row(ray_session, tmp_path):
     assert len(got) == len(want)
     for c in got.columns:
         assert list(got[c]) == list(want[c]), c
+
+
+def test_link_mentions_broadcast_fallback_pool_equivalence(ray_session, tmp_path):
+    """The three linking paths — distinct-resolve + broadcast merge (the
+    scale default), the over-limit per-worker fallback, and the LinkerActor
+    pool — must produce identical edges for the same mentions, including
+    unicode/huge/no-hit mentions and context-gated rows."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from mannheimsearchjoinsengine_ray.state.index import build_index
+
+    index_dir = str(tmp_path / "idx_3way")
+    gaz = rd.from_arrow(pa.table(P.make_gazetteer(50)))
+    build_index(gaz, index_dir, num_shards=2)
+
+    labels = [P.entity_label(i) for i in range(20)]
+    ments = labels + ["Zürich 北京 café", "x" * 5000, "—", "null"] \
+        + [l.upper() for l in labels[:5]]
+    rows = {"url": [], "table_idx": [], "row_idx": [], "mention": [],
+            "context": []}
+    for i, m in enumerate(ments * 12):
+        rows["url"].append(f"http://u/{i}")
+        rows["table_idx"].append(0)
+        rows["row_idx"].append(i)
+        rows["mention"].append(m)
+        rows["context"].append("red\x1f42" if i % 3 == 0 else "")
+    ds = rd.from_arrow(pa.Table.from_pydict(
+        rows, schema=L.MENTION_SCHEMA)).repartition(6)
+
+    def norm(df):
+        return df.sort_values(["url", "row_idx", "rank", "entity_uri"]) \
+            .reset_index(drop=True)
+
+    cfg = PipelineConfig(refine_attrs_factor=0.3)
+    a = norm(L.top1_links(L.link_mentions(ds, index_dir, cfg)).to_pandas())
+    assert len(a) > 0
+    cfg0 = dataclasses.replace(cfg, link_broadcast_limit=0)
+    b = norm(L.top1_links(L.link_mentions(ds, index_dir, cfg0)).to_pandas())
+    pool = ds.map_batches(
+        L.LinkerActor,
+        fn_constructor_kwargs={"index_dir": index_dir, "top_k": 5,
+                               "max_edit": cfg.max_edit_distance,
+                               "refine_factor": cfg.refine_attrs_factor},
+        batch_format="pyarrow", concurrency=2, num_cpus=1)
+    c = norm(L.top1_links(pool).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
+
+
+def test_distinct_mentions_from_tables_matches_mention_map(ray_session):
+    """distinct_mentions(tables, from_tables=True) must cover exactly the
+    mention strings the full mention map emits (it may repeat them across
+    coalesced blocks; the broadcast dict dedupes)."""
+    import ray.data as rd
+
+    specs = [P.make_page_spec(i, seed=7) for i in range(30)]
+    pages = rd.from_items([{"url": s.url, "html": P.render_html(s)}
+                           for s in specs])
+    from mannheimsearchjoinsengine_ray.pipelines.kg import extract_tables_ds
+
+    tables = extract_tables_ds(pages)
+    got = set()
+    for b in L.distinct_mentions(tables, from_tables=True) \
+            .to_pandas()["mention"]:
+        got.add(b)
+    want = set(tables.map_batches(L.mentions_from_tables_batch,
+                                  batch_format="pyarrow")
+               .to_pandas()["mention"])
+    assert got == want
