@@ -28,7 +28,7 @@ _WORD_RE = re.compile(r"[a-zA-ZäöüßéèêàâçñáíóúìòùÄÖÜ]+")
 
 def detect_language(text: str) -> str:
     """Stopword-vote language id; '' when no evidence (short/noisy text)."""
-    words = [w.lower() for w in _WORD_RE.findall(text)]
+    words = [w.lower() for w in _WORD_RE.findall(text or "")]
     if not words:
         return ""
     scores = {lang: 0 for lang in _LANG_MARKERS}

@@ -611,17 +611,22 @@ def q_doc_fingerprints(sf_dir: str):
 
 def q_language_id(sf_dir: str):
     """Heuristic language-ID vs the table's lang labels: confusion counts.
-    Rows-only oracle (model-ish op)."""
-    from ray.data.aggregate import Count
+    SQL-oracled: the tokenization persists to fixed parquet paths (see
+    ``_persist_lid_raw``) and DuckDB independently recomputes the marker
+    vote, tie-break and confusion aggregate."""
+    from ..stages.aggregates import two_phase_agg
 
+    _persist_lid_raw(sf_dir)  # oracle inputs (cached by sf key)
     ds = _rp(sf_dir, "documents", ["lang", "text"])
 
     def lid(df: pd.DataFrame) -> pd.DataFrame:
         df["pred_lang"] = [textstats.detect_language(t) for t in df["text"]]
         return df[["lang", "pred_lang"]]
 
-    return ds.map_batches(lid, batch_format="pandas") \
-        .groupby(["lang", "pred_lang"]).aggregate(Count(alias_name="n")).to_pandas()
+    out = two_phase_agg(ds.map_batches(lid, batch_format="pandas"),
+                        ["lang", "pred_lang"],
+                        {"n": (None, "count")}).to_pandas()
+    return out.astype({"n": "int64"})
 
 
 # ---------------------------------------------------------------------------
@@ -1124,6 +1129,36 @@ def _persist_kg_raw(sf_dir: str, kind: str) -> str:
 
         ds = extract_tables_ds(read_pages(corpus, columns=["url", "html"])) \
             .map_batches(explode, batch_format="pyarrow")
+    elif kind == "linkcells":
+        from ..config import NULL_VALUE
+        from ..functions.parsers import parse_url
+
+        def explode_cells(t: pa.Table) -> pa.Table:
+            out = {"url": [], "table_idx": [], "col_idx": [], "header": [],
+                   "is_link": []}
+            for url, ti, headers, rows in zip(
+                t.column("url").to_pylist(), t.column("table_idx").to_pylist(),
+                t.column("headers").to_pylist(), t.column("rows").to_pylist(),
+            ):
+                if not rows:
+                    continue
+                for ci, header in enumerate(headers):
+                    for r in rows:
+                        v = r[ci] if ci < len(r) else None
+                        if v in (None, "", NULL_VALUE):
+                            continue
+                        out["url"].append(url)
+                        out["table_idx"].append(ti)
+                        out["col_idx"].append(ci)
+                        out["header"].append(header)
+                        out["is_link"].append(bool(parse_url(v)))
+            return pa.Table.from_pydict(out, schema=pa.schema([
+                ("url", pa.string()), ("table_idx", pa.int64()),
+                ("col_idx", pa.int64()), ("header", pa.string()),
+                ("is_link", pa.bool_())]))
+
+        ds = extract_tables_ds(read_pages(corpus, columns=["url", "html"])) \
+            .map_batches(explode_cells, batch_format="pyarrow")
     else:
         raise ValueError(kind)
     ds.write_parquet(tmp_dir)
@@ -1133,6 +1168,72 @@ def _persist_kg_raw(sf_dir: str, kind: str) -> str:
         fh.write(key)
     os.replace(marker + ".tmp", marker)
     return out_dir
+
+
+def _persist_lid_raw(sf_dir: str) -> None:
+    """Language-ID oracle inputs: exploded lowercased word tokens per doc
+    (tokenization = the pinned ``_WORD_RE`` + lower), the (doc_id, lang)
+    labels, and the static language-marker lists — three fixed parquet
+    paths the static oracle SQL reads.  DuckDB then independently
+    recomputes the per-doc marker vote, the (score, lang)-max tie-break and
+    the confusion counts; atomically replaced when the sf key changes."""
+    import os
+    import shutil
+
+    key = os.path.basename(sf_dir.rstrip("/"))
+    os.makedirs(_KG_ORACLE_BASE, exist_ok=True)
+    marker = os.path.join(_KG_ORACLE_BASE, "lid.key")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == key and all(
+                os.path.isdir(os.path.join(_KG_ORACLE_BASE, d))
+                for d in ("lid_tokens", "lid_docs", "lid_markers")):
+                return
+
+    def explode_tokens(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        words: list[str] = []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            for w in textstats._WORD_RE.findall(text or ""):
+                ids.append(did)
+                words.append(w.lower())
+        return pa.Table.from_pydict(
+            {"doc_id": ids, "word": words},
+            schema=pa.schema([("doc_id", pa.int64()), ("word", pa.string())]))
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "lang", "text"])
+    for name, ds in (
+        ("lid_tokens", docs.map_batches(explode_tokens,
+                                        batch_format="pyarrow")),
+        ("lid_docs", _rp(sf_dir, "documents", ["doc_id", "lang"])),
+    ):
+        out_dir = os.path.join(_KG_ORACLE_BASE, name)
+        tmp = out_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.replace(tmp, out_dir)
+    mk_dir = os.path.join(_KG_ORACLE_BASE, "lid_markers")
+    tmp = mk_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    mlangs: list[str] = []
+    mwords: list[str] = []
+    for lang, ws in textstats._LANG_MARKERS.items():
+        for w in sorted(ws):
+            mlangs.append(lang)
+            mwords.append(w)
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(pa.table({"mlang": pa.array(mlangs, pa.string()),
+                              "word": pa.array(mwords, pa.string())}),
+                    os.path.join(tmp, "markers.parquet"))
+    shutil.rmtree(mk_dir, ignore_errors=True)
+    os.replace(tmp, mk_dir)
+    with open(marker + ".tmp", "w") as fh:
+        fh.write(key)
+    os.replace(marker + ".tmp", marker)
 
 
 def q_kg_values_per_subject(sf_dir: str):
@@ -1154,13 +1255,20 @@ def q_kg_values_per_subject(sf_dir: str):
 
 
 def q_kg_link_columns(sf_dir: str):
-    """Link-column scan over extracted web tables (WikiLinkLookup analog).
-    Rows-only oracle."""
+    """Link-column scan over extracted web tables (WikiLinkLookup analog,
+    SJ/wikipedia/WikiLinkLookup.java:42-120).  SQL-oracled: per-cell
+    (present, is_link) flags persist to a fixed parquet path — the URL
+    parser itself is pinned by function goldens — and DuckDB independently
+    recomputes the per-column aggregation, ratio and >10% filter."""
     from .kg import extract_tables_ds, read_pages
     from ..stages.stats import link_column_scan
 
+    _persist_kg_raw(sf_dir, "linkcells")  # oracle input (cached by corpus)
     pages = read_pages(corpus_for(sf_dir), columns=["url", "html"])
-    return link_column_scan(extract_tables_ds(pages))
+    df = link_column_scan(extract_tables_ds(pages)).to_pandas()
+    df["link_ratio"] = df["link_ratio"].round(6)
+    return df.astype({"table_idx": "int64", "col_idx": "int64"}) \
+        .sort_values(["url", "table_idx", "col_idx"]).reset_index(drop=True)
 
 
 def q_kg_header_frequencies(sf_dir: str):
@@ -1381,6 +1489,36 @@ ORACLE_SQL: dict[str, str] = {
         FROM read_parquet('/tmp/graft_kg_oracle/headers/*.parquet')
         GROUP BY header
     """,
+    "kg_link_columns": """
+        SELECT url, table_idx, col_idx, header,
+               ROUND(CAST(SUM(CASE WHEN is_link THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS link_ratio
+        FROM read_parquet('/tmp/graft_kg_oracle/linkcells/*.parquet')
+        GROUP BY url, table_idx, col_idx, header
+        HAVING CAST(SUM(CASE WHEN is_link THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) > 0.1
+        ORDER BY url, table_idx, col_idx
+    """,
+    "language_id": """
+        WITH hits AS (
+            SELECT t.doc_id, m.mlang, COUNT(*) AS score
+            FROM read_parquet('/tmp/graft_kg_oracle/lid_tokens/*.parquet') t
+            JOIN read_parquet('/tmp/graft_kg_oracle/lid_markers/*.parquet') m
+              ON t.word = m.word
+            GROUP BY t.doc_id, m.mlang
+        ),
+        best AS (
+            SELECT doc_id, mlang,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, mlang DESC) AS rn
+            FROM hits
+        )
+        SELECT d.lang, COALESCE(b.mlang, '') AS pred_lang, COUNT(*) AS n
+        FROM read_parquet('/tmp/graft_kg_oracle/lid_docs/*.parquet') d
+        LEFT JOIN (SELECT doc_id, mlang FROM best WHERE rn = 1) b
+          ON d.doc_id = b.doc_id
+        GROUP BY d.lang, COALESCE(b.mlang, '')
+    """,
 }
 
 QUERIES: dict = {
@@ -1409,9 +1547,9 @@ QUERIES: dict = {
     "token_counts": q_token_counts,
     "exact_dedup": q_exact_dedup,
     "quality_filter": q_quality_filter,
+    "language_id": q_language_id,
     # rows-only (no SQL oracle)
     "doc_fingerprints": q_doc_fingerprints,
-    "language_id": q_language_id,
     "kg_triples": q_kg_triples,
     "kg_extract_text": q_kg_extract_text,
     "ann_topk": q_ann_topk,
