@@ -717,9 +717,45 @@ def q_ann_ivf_partitioned(sf_dir: str):
     return res[["query_id", "neighbor_id", "rank"]]
 
 
+def q_ann_ivf_exact(sf_dir: str):
+    """IVF probe with EVERY centroid partition probed: partitioning a set
+    and scanning all partitions is exact, so the result must equal the
+    brute-force top-k bit-for-bit — which makes the whole IVF machinery
+    (build, physical partition listing, per-partition probe, k-way merge)
+    checkable against the same DuckDB cosine oracle as ``ann_topk``."""
+    import os as _os
+
+    from ..stages.ann import build_ivf_index, knn_ivf_index
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    index_dir = f"/tmp/graft_ivf_{_os.path.basename(sf_dir.rstrip('/'))}"
+    build_ivf_index(emb, index_dir, n_centroids=16)
+    qdf = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(20))),
+        batch_format="pyarrow").to_pandas().sort_values("vec_id")
+    res = knn_ivf_index(index_dir, np.stack(qdf["embedding"].to_numpy()), k=5,
+                        nprobe=16, query_ids=qdf["vec_id"].to_numpy())
+    return res[["query_id", "neighbor_id", "rank"]]
+
+
+def _dedupe_pair_df(df: pd.DataFrame, value_col: str) -> pd.DataFrame:
+    """Distinct verified pairs with pinned int64 ids (a pair found via
+    several bands/chunks carries the same verify value, so first-wins is
+    exact).  Caller pins the value column's dtype."""
+    if df.empty:
+        return pd.DataFrame({"left_id": pd.Series(dtype="int64"),
+                             "right_id": pd.Series(dtype="int64"),
+                             value_col: pd.Series(dtype="float64")})
+    out = df.drop_duplicates(["left_id", "right_id"])
+    out = out[["left_id", "right_id", value_col]] \
+        .astype({"left_id": "int64", "right_id": "int64"})
+    return out.sort_values(["left_id", "right_id"]).reset_index(drop=True)
+
+
 def q_minhash_dedup(sf_dir: str):
     """MinHash-LSH near-dedup over documents → (id, component) for every doc.
-    Rows-only oracle."""
+    Rows-only oracle (the connected-components step; the pair set itself is
+    SQL-oracled by ``minhash_pairs``)."""
     from ..stages.dedup import assign_components, minhash_dedup_pairs
 
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
@@ -728,33 +764,54 @@ def q_minhash_dedup(sf_dir: str):
     return assign_components(pairs, all_ids=all_ids)
 
 
+def q_minhash_pairs(sf_dir: str):
+    """MinHash-LSH verified near-dup pairs.  SQL-oracled: raw per-permutation
+    minhash values and distinct word-3-shingle strings persist to parquet
+    (``_persist_dedup_raw``); DuckDB independently regroups the 4-value band
+    slices, generates distinct candidate pairs per band bucket and verifies
+    exact shingle-set Jaccard >= 0.5 — the full LSH candidate+verify path
+    recomputed relationally."""
+    from ..stages.dedup import minhash_dedup_pairs
+
+    _persist_dedup_raw(sf_dir)
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    df = minhash_dedup_pairs(docs, min_jaccard=0.5).to_pandas()
+    if not df.empty:
+        df = df.assign(jaccard=df["jaccard"].round(6))
+    out = _dedupe_pair_df(df, "jaccard")
+    return out.astype({"jaccard": "float64"})
+
+
 def q_simhash_dedup(sf_dir: str):
     """SimHash near-dup pairs (Hamming <= 3 via 16-bit chunk banding).
-    Rows-only oracle."""
+    SQL-oracled: per-doc simhashes persist to parquet and DuckDB recomputes
+    the pair set as exact all-pairs ``bit_count(xor(a,b)) <= 3`` — the
+    pigeonhole banding must find exactly that set."""
     from ..stages.dedup import simhash_dedup_pairs
 
+    _persist_dedup_raw(sf_dir)
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     df = simhash_dedup_pairs(docs, max_hamming=3).to_pandas()
-    return df[["left_id", "right_id", "hamming"]] if len(df) else pd.DataFrame(
-        {"left_id": pd.Series(dtype="int64"),
-         "right_id": pd.Series(dtype="int64"),
-         "hamming": pd.Series(dtype="int64")})
+    out = _dedupe_pair_df(df, "hamming")
+    return out.astype({"hamming": "int64"})
 
 
 def q_embedding_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs (hyperplane-LSH blocked).
-    Rows-only oracle."""
+    """Embedding-cosine near-dup pairs.  SQL-oracled directly against the
+    embeddings table: DuckDB recomputes all-pairs cosine in double precision
+    (cast from the stored float32 lists, matching the float64 numpy path).
+    The synthetic embeddings have no true near-dups (max pairwise cosine
+    ~0.51) — 0.45 exercises the operator on the cluster structure."""
     from ..stages.dedup import embedding_dedup_pairs
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    # the synthetic embeddings have no true near-dups (max pairwise
-    # cosine ~0.51) — 0.45 exercises the operator on the cluster structure
     df = embedding_dedup_pairs(emb, min_cosine=0.45).to_pandas()
     if df.empty:
         return pd.DataFrame({"left_id": pd.Series(dtype="int64"),
                              "right_id": pd.Series(dtype="int64"),
                              "cosine": pd.Series(dtype="float64")})
-    return df
+    df = df.assign(cosine=df["cosine"].round(6))
+    return _dedupe_pair_df(df, "cosine").astype({"cosine": "float64"})
 
 
 def q_multimodal_decode(sf_dir: str):
@@ -1236,6 +1293,76 @@ def _persist_lid_raw(sf_dir: str) -> None:
     os.replace(marker + ".tmp", marker)
 
 
+def _persist_dedup_raw(sf_dir: str) -> None:
+    """Near-dedup oracle inputs: per-doc simhash, exploded minhash
+    signatures (doc_id, perm_idx, mh) and distinct word-3-shingle strings.
+    The sketch functions themselves are pinned by golden/property tests;
+    DuckDB then independently recomputes the band grouping, candidate
+    pairing and exact verify (all-pairs Hamming for simhash; FNV-free
+    band-slice grouping + shingle-set Jaccard for minhash)."""
+    import os
+    import shutil
+
+    key = os.path.basename(sf_dir.rstrip("/"))
+    os.makedirs(_KG_ORACLE_BASE, exist_ok=True)
+    marker = os.path.join(_KG_ORACLE_BASE, "dedup.key")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == key and all(
+                os.path.isdir(os.path.join(_KG_ORACLE_BASE, d))
+                for d in ("simhashes", "mh_sigs", "mh_shingles")):
+                return
+
+    def doc_simhashes(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        sims = np.array(
+            [hashing.simhash64(hashing.hash64((x or "").split() or [""]))
+             for x in texts], dtype=np.uint64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "h": pa.array(sims.astype("int64"))})
+
+    def mh_explode(t: pa.Table) -> pa.Table:
+        mh = hashing.MinHasher(num_perm=128)
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        sigs = mh.signatures([
+            hashing.word_shingle_hashes((x or "").split(), 3) for x in texts])
+        n, k = sigs.shape
+        return pa.table({
+            "doc_id": pa.array(np.repeat(np.asarray(ids, dtype=np.int64), k)),
+            "perm_idx": pa.array(np.tile(np.arange(k, dtype=np.int64), n)),
+            "mh": pa.array(sigs.astype("int64").reshape(-1)),
+        })
+
+    def shingle_explode(t: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        shingles: list[str] = []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            toks = (text or "").split()
+            ss = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)} \
+                if len(toks) >= 3 else {" ".join(toks)}
+            ids.extend([did] * len(ss))
+            shingles.extend(sorted(ss))
+        return pa.Table.from_pydict(
+            {"doc_id": ids, "shingle": shingles},
+            schema=pa.schema([("doc_id", pa.int64()), ("shingle", pa.string())]))
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    for name, fn in (("simhashes", doc_simhashes), ("mh_sigs", mh_explode),
+                     ("mh_shingles", shingle_explode)):
+        out_dir = os.path.join(_KG_ORACLE_BASE, name)
+        tmp = out_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        docs.map_batches(fn, batch_format="pyarrow").write_parquet(tmp)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.replace(tmp, out_dir)
+    with open(marker + ".tmp", "w") as fh:
+        fh.write(key)
+    os.replace(marker + ".tmp", marker)
+
+
 def q_kg_values_per_subject(sf_dir: str):
     """Distribution of values per key (DistributionOfValuesPerKey analog)
     over the KG triples: # triples per subject via two-phase aggregation.
@@ -1519,7 +1646,67 @@ ORACLE_SQL: dict[str, str] = {
           ON d.doc_id = b.doc_id
         GROUP BY d.lang, COALESCE(b.mlang, '')
     """,
+    "simhash_dedup": """
+        SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+               CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        FROM read_parquet('/tmp/graft_kg_oracle/simhashes/*.parquet') a
+        JOIN read_parquet('/tmp/graft_kg_oracle/simhashes/*.parquet') b
+          ON a.doc_id < b.doc_id
+         AND bit_count(xor(a.h, b.h)) <= 3
+        ORDER BY left_id, right_id
+    """,
+    "minhash_pairs": """
+        WITH bands AS (
+            SELECT doc_id, CAST(perm_idx // 4 AS INTEGER) AS band_idx,
+                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm_idx)
+                       AS band_sig
+            FROM read_parquet('/tmp/graft_kg_oracle/mh_sigs/*.parquet')
+            GROUP BY doc_id, CAST(perm_idx // 4 AS INTEGER)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        ),
+        sz AS (
+            SELECT doc_id, COUNT(*) AS n
+            FROM read_parquet('/tmp/graft_kg_oracle/mh_shingles/*.parquet')
+            GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT c.left_id, c.right_id, COUNT(*) AS i
+            FROM cand c
+            JOIN read_parquet('/tmp/graft_kg_oracle/mh_shingles/*.parquet') s1
+              ON s1.doc_id = c.left_id
+            JOIN read_parquet('/tmp/graft_kg_oracle/mh_shingles/*.parquet') s2
+              ON s2.doc_id = c.right_id AND s2.shingle = s1.shingle
+            GROUP BY c.left_id, c.right_id
+        )
+        SELECT c.left_id, c.right_id,
+               ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                     / (za.n + zb.n - COALESCE(i.i, 0)), 6) AS jaccard
+        FROM cand c
+        JOIN sz za ON za.doc_id = c.left_id
+        JOIN sz zb ON zb.doc_id = c.right_id
+        LEFT JOIN inter i
+          ON i.left_id = c.left_id AND i.right_id = c.right_id
+        WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
+              / (za.n + zb.n - COALESCE(i.i, 0)) >= 0.5
+        ORDER BY c.left_id, c.right_id
+    """,
+    "embedding_neardup": """
+        SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+               ROUND(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.45
+        ORDER BY left_id, right_id
+    """,
 }
+ORACLE_SQL["ann_ivf_exact"] = ORACLE_SQL["ann_topk"]
 
 QUERIES: dict = {
     "pricing_summary": q_pricing_summary,
@@ -1548,16 +1735,18 @@ QUERIES: dict = {
     "exact_dedup": q_exact_dedup,
     "quality_filter": q_quality_filter,
     "language_id": q_language_id,
+    "ann_topk": q_ann_topk,
+    "ann_ivf_exact": q_ann_ivf_exact,
+    "simhash_dedup": q_simhash_dedup,
+    "minhash_pairs": q_minhash_pairs,
+    "embedding_neardup": q_embedding_neardup,
     # rows-only (no SQL oracle)
     "doc_fingerprints": q_doc_fingerprints,
     "kg_triples": q_kg_triples,
     "kg_extract_text": q_kg_extract_text,
-    "ann_topk": q_ann_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
     "minhash_dedup": q_minhash_dedup,
-    "simhash_dedup": q_simhash_dedup,
-    "embedding_neardup": q_embedding_neardup,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
     "value_histogram": q_value_histogram,

@@ -206,8 +206,10 @@ def knn_ivf_index(index_dir: str, query_matrix: np.ndarray, k: int = 5,
         ids = np.asarray(batch.column("vec_id").to_pylist())
         cent = np.asarray([int(c) for c in
                            batch.column("centroid").to_pylist()])
+        # float64 like knn_brute: at nprobe=all the probe is exact and must
+        # reproduce the brute-force (and DuckDB-oracle) ordering bit-for-bit
         vecs = _unit(np.asarray(batch.column("embedding").to_pylist(),
-                                dtype=np.float32))
+                                dtype=np.float64), dtype=np.float64)
         rows_q, rows_id, rows_s = [], [], []
         for qi in range(qm.shape[0]):
             mask = np.isin(cent, pr[qi])
