@@ -592,8 +592,14 @@ def q_quality_filter(sf_dir: str):
 
 
 def q_doc_fingerprints(sf_dir: str):
-    """Document fingerprinting (winnowing): deterministic fingerprint size +
-    simhash per doc.  Rows-only oracle (not SQL-expressible)."""
+    """Document fingerprinting (winnowing, Schleimer et al. SIGMOD'03):
+    deterministic fingerprint size + simhash per doc.  SQL-oracled: the raw
+    per-doc k-gram rolling hashes (position-ordered) and per-token hash64
+    values persist to parquet (``_persist_fp_raw``; the hash functions are
+    pinned by golden tests) and DuckDB independently recomputes the winnow
+    selection (windowed MIN over 16 k-grams, distinct count) and the
+    64-bit-majority simhash with signed two's-complement assembly."""
+    _persist_fp_raw(sf_dir)
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
 
     def fp(df: pd.DataFrame) -> pd.DataFrame:
@@ -753,15 +759,20 @@ def _dedupe_pair_df(df: pd.DataFrame, value_col: str) -> pd.DataFrame:
 
 
 def q_minhash_dedup(sf_dir: str):
-    """MinHash-LSH near-dedup over documents → (id, component) for every doc.
-    Rows-only oracle (the connected-components step; the pair set itself is
-    SQL-oracled by ``minhash_pairs``)."""
+    """MinHash-LSH near-dedup over documents → (id, component) for every doc
+    with component = min member id.  SQL-oracled end-to-end: DuckDB rebuilds
+    the verified pair set from the persisted raw minhash/shingle parquet
+    (as in ``minhash_pairs``) and labels components with a recursive
+    min-label propagation CTE — banding, candidate generation, Jaccard
+    verify and connected components all recomputed relationally."""
     from ..stages.dedup import assign_components, minhash_dedup_pairs
 
+    _persist_dedup_raw(sf_dir)
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     pairs = minhash_dedup_pairs(docs, min_jaccard=0.5)
     all_ids = docs.unique("doc_id")
-    return assign_components(pairs, all_ids=all_ids)
+    out = assign_components(pairs, all_ids=all_ids)
+    return out.astype({"id": "int64", "component": "int64"})
 
 
 def q_minhash_pairs(sf_dir: str):
@@ -1363,6 +1374,75 @@ def _persist_dedup_raw(sf_dir: str) -> None:
     os.replace(marker + ".tmp", marker)
 
 
+def _persist_fp_raw(sf_dir: str) -> None:
+    """Fingerprint oracle inputs: per-doc k-gram rolling hashes in position
+    order (``fp_kgrams``: doc_id, pos, h) and per-token hash64 values
+    (``fp_tokens``: doc_id, th), both stored as uint64 so DuckDB's UBIGINT
+    ordering/bit math matches numpy exactly.  The hash functions themselves
+    are pinned by golden/property tests; the oracle recomputes only the
+    winnowing selection and the simhash bit majority."""
+    import os
+    import shutil
+
+    key = os.path.basename(sf_dir.rstrip("/"))
+    os.makedirs(_KG_ORACLE_BASE, exist_ok=True)
+    marker = os.path.join(_KG_ORACLE_BASE, "fp.key")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == key and all(
+                os.path.isdir(os.path.join(_KG_ORACLE_BASE, d))
+                for d in ("fp_kgrams", "fp_tokens")):
+                return
+
+    def kgram_explode(t: pa.Table) -> pa.Table:
+        ids: list[np.ndarray] = []
+        poss: list[np.ndarray] = []
+        hs: list[np.ndarray] = []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            h = textstats.rolling_hashes(text or "", 8)
+            if h.size == 0:
+                continue
+            ids.append(np.full(h.size, did, dtype=np.int64))
+            poss.append(np.arange(h.size, dtype=np.int64))
+            hs.append(h)
+        if not ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "h": pa.array([], pa.uint64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(ids)),
+                         "pos": pa.array(np.concatenate(poss)),
+                         "h": pa.array(np.concatenate(hs), pa.uint64())})
+
+    def token_explode(t: pa.Table) -> pa.Table:
+        ids: list[np.ndarray] = []
+        ths: list[np.ndarray] = []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            toks = (text or "").split()
+            if not toks:
+                continue
+            ids.append(np.full(len(toks), did, dtype=np.int64))
+            ths.append(hashing.hash64(toks))
+        if not ids:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "th": pa.array([], pa.uint64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(ids)),
+                         "th": pa.array(np.concatenate(ths), pa.uint64())})
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    for name, fn in (("fp_kgrams", kgram_explode), ("fp_tokens", token_explode)):
+        out_dir = os.path.join(_KG_ORACLE_BASE, name)
+        tmp = out_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        docs.map_batches(fn, batch_format="pyarrow").write_parquet(tmp)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.replace(tmp, out_dir)
+    with open(marker + ".tmp", "w") as fh:
+        fh.write(key)
+    os.replace(marker + ".tmp", marker)
+
+
 def q_kg_values_per_subject(sf_dir: str):
     """Distribution of values per key (DistributionOfValuesPerKey analog)
     over the KG triples: # triples per subject via two-phase aggregation.
@@ -1695,6 +1775,98 @@ ORACLE_SQL: dict[str, str] = {
               / (za.n + zb.n - COALESCE(i.i, 0)) >= 0.5
         ORDER BY c.left_id, c.right_id
     """,
+    "minhash_dedup": """
+        WITH RECURSIVE bands AS (
+            SELECT doc_id, CAST(perm_idx // 4 AS INTEGER) AS band_idx,
+                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm_idx)
+                       AS band_sig
+            FROM read_parquet('/tmp/graft_kg_oracle/mh_sigs/*.parquet')
+            GROUP BY doc_id, CAST(perm_idx // 4 AS INTEGER)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        ),
+        sz AS (
+            SELECT doc_id, COUNT(*) AS n
+            FROM read_parquet('/tmp/graft_kg_oracle/mh_shingles/*.parquet')
+            GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT c.left_id, c.right_id, COUNT(*) AS i
+            FROM cand c
+            JOIN read_parquet('/tmp/graft_kg_oracle/mh_shingles/*.parquet') s1
+              ON s1.doc_id = c.left_id
+            JOIN read_parquet('/tmp/graft_kg_oracle/mh_shingles/*.parquet') s2
+              ON s2.doc_id = c.right_id AND s2.shingle = s1.shingle
+            GROUP BY c.left_id, c.right_id
+        ),
+        verified AS (
+            SELECT c.left_id, c.right_id
+            FROM cand c
+            JOIN sz za ON za.doc_id = c.left_id
+            JOIN sz zb ON zb.doc_id = c.right_id
+            JOIN inter i
+              ON i.left_id = c.left_id AND i.right_id = c.right_id
+            WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= 0.5
+        ),
+        edges AS (
+            SELECT left_id AS a, right_id AS b FROM verified
+            UNION ALL
+            SELECT right_id, left_id FROM verified
+        ),
+        walk(id, comp) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.a, w.comp FROM walk w JOIN edges e ON e.b = w.id
+        )
+        SELECT id, CAST(MIN(comp) AS BIGINT) AS component
+        FROM walk GROUP BY id ORDER BY id
+    """,
+    "doc_fingerprints": """
+        WITH wm AS (
+            SELECT doc_id, pos,
+                   MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+                       AS winmin,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS n
+            FROM read_parquet('/tmp/graft_kg_oracle/fp_kgrams/*.parquet')
+        ),
+        fps AS (
+            SELECT doc_id,
+                   CAST(CASE WHEN MAX(n) <= 16 THEN 1
+                        ELSE COUNT(DISTINCT CASE WHEN pos >= 15
+                                                 THEN winmin END)
+                        END AS BIGINT) AS fp_size
+            FROM wm GROUP BY doc_id
+        ),
+        bitsum AS (
+            SELECT t.doc_id, b.i,
+                   SUM(CAST((t.th >> CAST(b.i AS UBIGINT))
+                            & CAST(1 AS UBIGINT) AS BIGINT)) AS s,
+                   COUNT(*) AS n
+            FROM read_parquet('/tmp/graft_kg_oracle/fp_tokens/*.parquet') t,
+                 (SELECT CAST(range AS INTEGER) AS i FROM range(64)) b
+            GROUP BY t.doc_id, b.i
+        ),
+        sh AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN 2 * s > n THEN
+                                 CASE WHEN i = 63
+                                      THEN -9223372036854775808
+                                      ELSE (CAST(1 AS BIGINT) << i) END
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM bitsum GROUP BY doc_id
+        )
+        SELECT d.doc_id, COALESCE(sh.simhash, 0) AS simhash,
+               COALESCE(fps.fp_size, 0) AS fp_size
+        FROM documents d
+        LEFT JOIN sh ON sh.doc_id = d.doc_id
+        LEFT JOIN fps ON fps.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """,
     "embedding_neardup": """
         SELECT a.vec_id AS left_id, b.vec_id AS right_id,
                ROUND(list_cosine_similarity(
@@ -1739,14 +1911,14 @@ QUERIES: dict = {
     "ann_ivf_exact": q_ann_ivf_exact,
     "simhash_dedup": q_simhash_dedup,
     "minhash_pairs": q_minhash_pairs,
+    "minhash_dedup": q_minhash_dedup,
     "embedding_neardup": q_embedding_neardup,
-    # rows-only (no SQL oracle)
     "doc_fingerprints": q_doc_fingerprints,
+    # rows-only (no SQL oracle)
     "kg_triples": q_kg_triples,
     "kg_extract_text": q_kg_extract_text,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_ivf_partitioned": q_ann_ivf_partitioned,
-    "minhash_dedup": q_minhash_dedup,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_audio": q_multimodal_audio,
     "value_histogram": q_value_histogram,
