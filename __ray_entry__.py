@@ -9,9 +9,13 @@ here (or in the library) initializes or shuts down Ray.
                      SURVEY.md §2 (see mannheimsearchjoinsengine_ray/
                      pipelines/queries.py); each takes ``sf_dir``.
 - ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query,
-                     same output column names; non-SQL ops (KG pipeline,
-                     fingerprints, language-id, dedup sketches, linking) are
-                     rows-only by design.
+                     same output column names.  Non-SQL-expressible ops
+                     (approximate ANN probes, byte-exact text extraction,
+                     the iterative linker/matcher/PPR pipelines, fusion) are
+                     rows-only by design; everything aggregate-shaped —
+                     including the full triple assembly, dedup sketches,
+                     language-id, multimodal decode stats — is hash-oracled
+                     via persisted raw intermediates (see pipelines/queries).
 """
 
 from __future__ import annotations

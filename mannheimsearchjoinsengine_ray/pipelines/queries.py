@@ -658,9 +658,20 @@ def corpus_for(sf_dir: str) -> str:
 
 
 def q_kg_triples(sf_dir: str):
-    """Full KG flow: pages → tables → triples (SURVEY §3.2)."""
+    """Full KG flow: pages → tables → triples (SURVEY §3.2).
+
+    SQL-oracled: the per-cell/per-column string-port outputs persist to fixed
+    parquet (``_persist_kg_raw`` kinds ``cells``/``cols``; capitalize_words /
+    get_human_header are pinned by function goldens) and DuckDB independently
+    rebuilds the WHOLE triple assembly — subject/predicate/class/property URI
+    concatenation, the row/cell skip rules ('', 'null', the 'string'-key
+    quirk), http→URI object promotion, the col_type→obj_type tag map and the
+    per-table class+property declarations (Triplifier.java:31-159
+    semantics)."""
     from .kg import pages_to_triples
 
+    _persist_kg_raw(sf_dir, "cells")   # oracle inputs (cached by corpus key)
+    _persist_kg_raw(sf_dir, "cols")
     return pages_to_triples(corpus_for(sf_dir))
 
 
@@ -827,29 +838,41 @@ def q_embedding_neardup(sf_dir: str):
 
 def q_multimodal_decode(sf_dir: str):
     """Multimodal REAL decode: deterministic PNG/PPM payloads through the
-    decode actor pool — stdlib codecs (functions/codecs.py), per-image
-    channel-stat features.  Rows-only oracle."""
+    decode actor pool (stdlib codecs, functions/codecs.py) → exact integer
+    per-channel pixel stats.
+
+    SQL-oracled: the decoded pixels persist exploded to parquet (the codecs
+    themselves are pinned by roundtrip property tests) and DuckDB
+    independently recomputes count/sum/min/max per (media_id, channel) —
+    integer outputs, so the hash compare is summation-order-proof.  The
+    float feature-vector path (``decode_features``) stays pytest-covered."""
     import ray.data as rd
 
-    from ..stages.multimodal import decode_features, make_fake_media
+    from ..stages.multimodal import image_channel_stats, make_fake_media
 
+    _persist_media_raw()  # oracle inputs (cached; media is sf-independent)
     media = rd.from_arrow(make_fake_media(64, seed=42))
-    return decode_features(media, deterministic_fake=False).to_pandas()
+    return image_channel_stats(media).to_pandas()
 
 
 def q_multimodal_audio(sf_dir: str):
-    """Audio features over PCM WAV payloads (stdlib wave + numpy rfft):
-    duration, RMS, zero crossings, spectral band energies.  Rows-only."""
+    """Audio features over PCM WAV payloads (stdlib wave + numpy): duration,
+    RMS, zero crossings through the actor pool.
+
+    SQL-oracled: decoded float64 mono samples persist to parquet and DuckDB
+    independently recomputes duration truncation, sqrt(avg(s²)) and the
+    sign-change count (LAG window).  The rfft band energies are not
+    SQL-expressible and stay pytest-covered."""
     import ray.data as rd
 
     from ..stages.multimodal import audio_features, make_fake_media
 
+    _persist_media_raw()  # oracle inputs (cached; media is sf-independent)
     media = rd.from_arrow(make_fake_media(64, media_type="audio", seed=42))
     df = audio_features(media).to_pandas()
     df["rms"] = df["rms"].round(6)
-    df["band_energy"] = df["band_energy"].map(
-        lambda b: [round(x, 4) for x in b])
-    return df
+    return df[["media_id", "duration_ms", "rms", "zero_crossings"]] \
+        .astype({"duration_ms": "int64", "zero_crossings": "int64"})
 
 
 def q_value_histogram(sf_dir: str):
@@ -1140,9 +1163,18 @@ def q_kg_column_match(sf_dir: str):
 def q_kg_clean_tables(sf_dir: str):
     """TableDataCleaner port over the corpus: density filters + numeric/unit
     normalization; returns per-table surviving row/col counts (first 200
-    tables by url for a bounded, deterministic result).  Rows-only."""
+    tables by url for a bounded, deterministic result).
+
+    SQL-oracled: unit/numeric normalization never flips a cell's nullness, so
+    the surviving SHAPE depends only on the per-cell null flags — persisted to
+    the ``cells`` parquet — and DuckDB independently re-applies the all-null
+    row removal, row density ≥ 0.3, column density ≤ 0.3 (key column exempt)
+    and the min_cols=3 / min_rows=5 gates (TableDataCleaner.cleanTable
+    semantics, config.py:58-90)."""
     from .kg import extract_tables_ds, read_pages
     from ..stages.stats import clean_tables_batch
+
+    _persist_kg_raw(sf_dir, "cells")  # oracle input (cached by corpus key)
 
     pages = read_pages(corpus_for(sf_dir), columns=["url", "html"])
     tables = extract_tables_ds(pages)
@@ -1157,6 +1189,7 @@ def q_kg_clean_tables(sf_dir: str):
         })
 
     df = cleaned.map_batches(shape, batch_format="pyarrow").to_pandas()
+    df = df.astype({"table_idx": "int64", "n_rows": "int64", "n_cols": "int64"})
     return df.sort_values(["url", "table_idx"]).head(200).reset_index(drop=True)
 
 
@@ -1227,6 +1260,85 @@ def _persist_kg_raw(sf_dir: str, kind: str) -> str:
 
         ds = extract_tables_ds(read_pages(corpus, columns=["url", "html"])) \
             .map_batches(explode_cells, batch_format="pyarrow")
+    elif kind == "cells":
+        # one row per CELL of every has_key table (nulls and key cells
+        # included) + the capitalize_words output — the Python string port is
+        # pinned by function goldens; DuckDB independently rebuilds the
+        # triple assembly / density filters from these rows
+        from ..config import NULL_VALUE
+        from ..functions.normalize import capitalize_words
+
+        def explode_all_cells(t: pa.Table) -> pa.Table:
+            out = {"url": [], "table_idx": [], "row_idx": [], "col_idx": [],
+                   "key_idx": [], "cell": [], "cell_cap": [], "is_null": []}
+            cap_memo: dict[str, str] = {}
+            for url, ti, ki, hk, rows in zip(
+                t.column("url").to_pylist(), t.column("table_idx").to_pylist(),
+                t.column("key_idx").to_pylist(), t.column("has_key").to_pylist(),
+                t.column("rows").to_pylist(),
+            ):
+                if not hk:
+                    continue
+                for ri, row in enumerate(rows):
+                    for ci, v in enumerate(row):
+                        out["url"].append(url)
+                        out["table_idx"].append(ti)
+                        out["row_idx"].append(ri)
+                        out["col_idx"].append(ci)
+                        out["key_idx"].append(ki)
+                        out["cell"].append(v)
+                        if v is None:
+                            out["cell_cap"].append(None)
+                        else:
+                            cap = cap_memo.get(v)
+                            if cap is None:
+                                cap = cap_memo[v] = capitalize_words(v)
+                            out["cell_cap"].append(cap)
+                        out["is_null"].append(v in (None, "", NULL_VALUE))
+            return pa.Table.from_pydict(out, schema=pa.schema([
+                ("url", pa.string()), ("table_idx", pa.int64()),
+                ("row_idx", pa.int64()), ("col_idx", pa.int64()),
+                ("key_idx", pa.int64()), ("cell", pa.string()),
+                ("cell_cap", pa.string()), ("is_null", pa.bool_())]))
+
+        ds = extract_tables_ds(read_pages(corpus, columns=["url", "html"])) \
+            .map_batches(explode_all_cells, batch_format="pyarrow")
+    elif kind == "cols":
+        # one row per COLUMN of every has_key table, with the Python string
+        # ports (capitalize_words, get_human_header) applied per header —
+        # the URI assembly itself (space removal, bracket regex, namespace
+        # concat) is left to the oracle SQL
+        from ..functions.normalize import capitalize_words, get_human_header
+
+        def explode_cols(t: pa.Table) -> pa.Table:
+            out = {"url": [], "table_idx": [], "col_idx": [], "key_idx": [],
+                   "header": [], "header_cap": [], "human_header": [],
+                   "col_type": []}
+            for url, ti, ki, hk, headers, col_types in zip(
+                t.column("url").to_pylist(), t.column("table_idx").to_pylist(),
+                t.column("key_idx").to_pylist(), t.column("has_key").to_pylist(),
+                t.column("headers").to_pylist(), t.column("col_types").to_pylist(),
+            ):
+                if not hk:
+                    continue
+                for ci, h in enumerate(headers):
+                    out["url"].append(url)
+                    out["table_idx"].append(ti)
+                    out["col_idx"].append(ci)
+                    out["key_idx"].append(ki)
+                    out["header"].append(h)
+                    out["header_cap"].append(capitalize_words(h))
+                    out["human_header"].append(get_human_header(h))
+                    out["col_type"].append(col_types[ci] if ci < len(col_types)
+                                           else "string")
+            return pa.Table.from_pydict(out, schema=pa.schema([
+                ("url", pa.string()), ("table_idx", pa.int64()),
+                ("col_idx", pa.int64()), ("key_idx", pa.int64()),
+                ("header", pa.string()), ("header_cap", pa.string()),
+                ("human_header", pa.string()), ("col_type", pa.string())]))
+
+        ds = extract_tables_ds(read_pages(corpus, columns=["url", "html"])) \
+            .map_batches(explode_cols, batch_format="pyarrow")
     else:
         raise ValueError(kind)
     ds.write_parquet(tmp_dir)
@@ -1236,6 +1348,85 @@ def _persist_kg_raw(sf_dir: str, kind: str) -> str:
         fh.write(key)
     os.replace(marker + ".tmp", marker)
     return out_dir
+
+
+def _persist_media_raw() -> None:
+    """Multimodal oracle inputs (the media set is sf-independent: n=64,
+    seed=42): decoded image pixels exploded to (media_id, channel, value)
+    rows and decoded float64 mono audio samples to (media_id, sample_idx,
+    s, rate) rows, at fixed parquet paths.  The codecs are pinned by
+    roundtrip/property tests; DuckDB recomputes the aggregations."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..functions import codecs
+    from ..stages.multimodal import make_fake_media
+
+    key = "media_v1_n64_seed42"
+    os.makedirs(_KG_ORACLE_BASE, exist_ok=True)
+
+    def _fresh(kind: str) -> str | None:
+        out_dir = os.path.join(_KG_ORACLE_BASE, kind)
+        marker = out_dir + ".key"
+        if os.path.isdir(out_dir) and os.path.exists(marker):
+            with open(marker) as fh:
+                if fh.read() == key:
+                    return None
+        return out_dir
+
+    def _commit(out_dir: str, table: pa.Table) -> None:
+        tmp_dir = out_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        os.makedirs(tmp_dir)
+        pq.write_table(table, os.path.join(tmp_dir, "part-0.parquet"))
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.replace(tmp_dir, out_dir)
+        marker = out_dir + ".key"
+        with open(marker + ".tmp", "w") as fh:
+            fh.write(key)
+        os.replace(marker + ".tmp", marker)
+
+    out_dir = _fresh("img_pixels")
+    if out_dir is not None:
+        media = make_fake_media(64, seed=42)
+        mids, chans, vals = [], [], []
+        for mid, p in zip(media.column("media_id").to_pylist(),
+                          media.column("payload").to_pylist()):
+            img = codecs.decode_image(p)
+            if img.ndim == 2:
+                img = img[:, :, None]
+            flat = img.reshape(-1, img.shape[2]).astype(np.int64)
+            for ci in range(flat.shape[1]):
+                mids.append(np.full(flat.shape[0], mid, dtype=np.int64))
+                chans.append(np.full(flat.shape[0], ci, dtype=np.int64))
+                vals.append(flat[:, ci])
+        _commit(out_dir, pa.table({
+            "media_id": pa.array(np.concatenate(mids)),
+            "channel": pa.array(np.concatenate(chans)),
+            "value": pa.array(np.concatenate(vals)),
+        }))
+
+    out_dir = _fresh("audio_samples")
+    if out_dir is not None:
+        media = make_fake_media(64, media_type="audio", seed=42)
+        mids, idxs, samps, rates = [], [], [], []
+        for mid, p in zip(media.column("media_id").to_pylist(),
+                          media.column("payload").to_pylist()):
+            x, rate = codecs.decode_wav(p)
+            mono = x.mean(axis=1, dtype=np.float64)  # = AudioFeatures downmix
+            n = mono.size
+            mids.append(np.full(n, mid, dtype=np.int64))
+            idxs.append(np.arange(n, dtype=np.int64))
+            samps.append(mono)
+            rates.append(np.full(n, rate, dtype=np.int64))
+        _commit(out_dir, pa.table({
+            "media_id": pa.array(np.concatenate(mids)),
+            "sample_idx": pa.array(np.concatenate(idxs)),
+            "s": pa.array(np.concatenate(samps)),
+            "rate": pa.array(np.concatenate(rates)),
+        }))
 
 
 def _persist_lid_raw(sf_dir: str) -> None:
@@ -1705,6 +1896,154 @@ ORACLE_SQL: dict[str, str] = {
         HAVING CAST(SUM(CASE WHEN is_link THEN 1 ELSE 0 END) AS DOUBLE)
                / COUNT(*) > 0.1
         ORDER BY url, table_idx, col_idx
+    """,
+    # kg_triples: rebuild the ENTIRE triple assembly (Triplifier semantics)
+    # from the persisted per-cell / per-column string-port outputs — URI
+    # concatenation, skip rules, http→uri promotion, type tags, class and
+    # property declarations.  See _persist_kg_raw kinds "cells"/"cols".
+    "kg_triples": """
+        WITH cells AS (
+            SELECT * FROM read_parquet('/tmp/graft_kg_oracle/cells/*.parquet')
+            WHERE key_idx >= 0
+        ), cols AS (
+            SELECT * FROM read_parquet('/tmp/graft_kg_oracle/cols/*.parquet')
+            WHERE key_idx >= 0
+        ), keyrows AS (
+            SELECT url, table_idx, row_idx,
+                   'http://table.searchjoins.de/' || replace(cell_cap, ' ', '')
+                       AS subj,
+                   cell_cap AS subj_label
+            FROM cells
+            WHERE col_idx = key_idx AND cell IS NOT NULL
+              AND cell NOT IN ('', 'null', 'string')
+        ), keycol AS (
+            SELECT url, table_idx,
+                   'http://table.searchjoins.de/' || replace(header_cap, ' ', '')
+                       AS class_uri,
+                   header_cap AS class_label
+            FROM cols WHERE col_idx = key_idx
+        ), validtables AS (
+            SELECT DISTINCT url, table_idx FROM keyrows
+        )
+        SELECT k.subj AS subj,
+               'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+               c.class_uri AS obj, 'uri' AS obj_type, k.url AS source_url
+        FROM keyrows k JOIN keycol c USING (url, table_idx)
+        UNION ALL
+        SELECT k.subj, 'http://www.w3.org/2000/01/rdf-schema#label',
+               k.subj_label, 'string', k.url
+        FROM keyrows k
+        UNION ALL
+        SELECT k.subj,
+               'http://table.searchjoins.de/' ||
+                   regexp_replace(replace(co.human_header, ' ', ''),
+                                  '\\(.*\\)', '', 'g'),
+               CASE WHEN contains(ce.cell, 'http') THEN ce.cell
+                    ELSE ce.cell_cap END,
+               CASE WHEN contains(ce.cell, 'http') THEN 'uri'
+                    WHEN co.col_type IN ('numeric', 'coordinate', 'unit')
+                        THEN 'float'
+                    WHEN co.col_type = 'date' THEN 'date'
+                    WHEN co.col_type = 'bool' THEN 'boolean'
+                    ELSE 'string' END,
+               ce.url
+        FROM cells ce
+        JOIN keyrows k ON k.url = ce.url AND k.table_idx = ce.table_idx
+                      AND k.row_idx = ce.row_idx
+        JOIN cols co ON co.url = ce.url AND co.table_idx = ce.table_idx
+                    AND co.col_idx = ce.col_idx
+        WHERE ce.col_idx != ce.key_idx AND ce.cell IS NOT NULL
+          AND ce.cell NOT IN ('', 'null')
+        UNION ALL
+        SELECT c.class_uri, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+               'http://www.w3.org/2002/07/owl#Class', 'uri', v.url
+        FROM validtables v JOIN keycol c USING (url, table_idx)
+        UNION ALL
+        SELECT c.class_uri, 'http://www.w3.org/2000/01/rdf-schema#label',
+               c.class_label, 'string', v.url
+        FROM validtables v JOIN keycol c USING (url, table_idx)
+        UNION ALL
+        SELECT 'http://table.searchjoins.de/' || replace(co.header_cap, ' ', ''),
+               'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+               'http://www.w3.org/2002/07/owl#DatatypeProperty', 'uri', v.url
+        FROM validtables v JOIN cols co USING (url, table_idx)
+        WHERE co.col_idx != co.key_idx
+        UNION ALL
+        SELECT 'http://table.searchjoins.de/' || replace(co.header_cap, ' ', ''),
+               'http://www.w3.org/2000/01/rdf-schema#label',
+               co.header_cap, 'string', v.url
+        FROM validtables v JOIN cols co USING (url, table_idx)
+        WHERE co.col_idx != co.key_idx
+    """,
+    # kg_clean_tables: the surviving table SHAPE depends only on per-cell
+    # null flags (normalization never flips nullness) — DuckDB re-applies
+    # all-null row removal, row density >= 0.3, column density <= 0.3 with
+    # the key column exempt, and the min_cols=3 / min_rows=5 gates.
+    "kg_clean_tables": """
+        WITH cells AS (
+            SELECT * FROM read_parquet('/tmp/graft_kg_oracle/cells/*.parquet')
+            WHERE key_idx >= 0
+        ), rowstats AS (
+            SELECT url, table_idx, row_idx,
+                   SUM(CASE WHEN NOT is_null THEN 1 ELSE 0 END) AS nn_total,
+                   SUM(CASE WHEN col_idx != key_idx THEN 1 ELSE 0 END) AS nk,
+                   SUM(CASE WHEN col_idx != key_idx AND NOT is_null
+                            THEN 1 ELSE 0 END) AS nk_nn
+            FROM cells GROUP BY url, table_idx, row_idx
+        ), kept_rows AS (
+            SELECT url, table_idx, row_idx FROM rowstats
+            WHERE nn_total > 0 AND nk > 0
+              AND CAST(nk_nn AS DOUBLE) / nk >= 0.3
+        ), colstats AS (
+            SELECT c.url, c.table_idx, c.col_idx, c.key_idx,
+                   COUNT(*) AS n,
+                   SUM(CASE WHEN c.is_null THEN 1 ELSE 0 END) AS nulls
+            FROM cells c
+            JOIN kept_rows k ON k.url = c.url AND k.table_idx = c.table_idx
+                            AND k.row_idx = c.row_idx
+            GROUP BY c.url, c.table_idx, c.col_idx, c.key_idx
+        ), kept_cols AS (
+            SELECT url, table_idx, col_idx FROM colstats
+            WHERE col_idx = key_idx OR CAST(nulls AS DOUBLE) / n <= 0.3
+        ), rowcount AS (
+            SELECT url, table_idx, COUNT(*) AS n_rows
+            FROM kept_rows GROUP BY url, table_idx
+        ), colcount AS (
+            SELECT url, table_idx, COUNT(*) AS n_cols
+            FROM kept_cols GROUP BY url, table_idx
+        )
+        SELECT r.url, r.table_idx, r.n_rows, c.n_cols
+        FROM rowcount r JOIN colcount c USING (url, table_idx)
+        WHERE r.n_rows >= 5 AND c.n_cols >= 3
+        ORDER BY r.url, r.table_idx
+        LIMIT 200
+    """,
+    # multimodal: aggregations over the persisted decoded pixels / samples
+    # (see _persist_media_raw) — decode itself is pinned by codec tests
+    "multimodal_decode": """
+        SELECT media_id, channel,
+               COUNT(*) AS n_pixels,
+               CAST(SUM(value) AS BIGINT) AS pixel_sum,
+               MIN(value) AS pixel_min,
+               MAX(value) AS pixel_max
+        FROM read_parquet('/tmp/graft_kg_oracle/img_pixels/*.parquet')
+        GROUP BY media_id, channel
+    """,
+    "multimodal_audio": """
+        WITH s AS (
+            SELECT media_id, sample_idx, s, rate,
+                   LAG(s) OVER (PARTITION BY media_id
+                                ORDER BY sample_idx) AS prev
+            FROM read_parquet('/tmp/graft_kg_oracle/audio_samples/*.parquet')
+        )
+        SELECT media_id,
+               CAST(TRUNC(COUNT(*) * 1000.0 / MAX(rate)) AS BIGINT)
+                   AS duration_ms,
+               ROUND(SQRT(AVG(s * s)), 6) AS rms,
+               CAST(SUM(CASE WHEN prev IS NOT NULL
+                             AND ((s < 0) != (prev < 0))
+                        THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM s GROUP BY media_id
     """,
     "language_id": """
         WITH hits AS (

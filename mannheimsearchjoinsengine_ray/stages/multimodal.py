@@ -180,7 +180,10 @@ class AudioFeatures:
         for mid, p in zip(batch.column("media_id").to_pylist(),
                           batch.column("payload").to_pylist()):
             x, rate = codecs.decode_wav(p)
-            mono = x.mean(axis=1)
+            # float64 downmix/accumulation: float32 means drift ~1e-7 across
+            # summation orders, which is visible at the oracle's 6-decimal
+            # rounding; float64 keeps the SQL-recomputed rms bit-stable
+            mono = x.mean(axis=1, dtype=np.float64)
             spec = np.abs(np.fft.rfft(mono)) ** 2
             bands = np.array_split(spec, self.n_bands)
             rows["media_id"].append(mid)
@@ -197,6 +200,39 @@ class AudioFeatures:
             "band_energy": pa.array(rows["band_energy"],
                                     pa.list_(pa.float64())),
         })
+
+
+class ImageChannelStats:
+    """payload → EXACT integer per-channel pixel stats (count/sum/min/max).
+
+    Integer outputs make the decode→aggregate path hash-comparable against a
+    SQL oracle over persisted exploded pixels (the float feature vectors of
+    ``ImageDecoder`` are summation-order sensitive; these are not)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {"media_id": [], "channel": [], "n_pixels": [],
+               "pixel_sum": [], "pixel_min": [], "pixel_max": []}
+        for mid, p in zip(batch.column("media_id").to_pylist(),
+                          batch.column("payload").to_pylist()):
+            img = codecs.decode_image(p)
+            if img.ndim == 2:
+                img = img[:, :, None]
+            flat = img.reshape(-1, img.shape[2]).astype(np.int64)
+            for ci in range(flat.shape[1]):
+                ch = flat[:, ci]
+                out["media_id"].append(mid)
+                out["channel"].append(ci)
+                out["n_pixels"].append(int(ch.size))
+                out["pixel_sum"].append(int(ch.sum()))
+                out["pixel_min"].append(int(ch.min()))
+                out["pixel_max"].append(int(ch.max()))
+        return pa.table({n: pa.array(v, pa.int64()) for n, v in out.items()})
+
+
+def image_channel_stats(media_ds, concurrency: int = 2):
+    return media_ds.map_batches(
+        ImageChannelStats, batch_format="pyarrow", batch_size=MEDIA_BATCH_SIZE,
+        concurrency=concurrency, num_cpus=1)
 
 
 class FrameSampler:
