@@ -323,11 +323,18 @@ def distinct_mentions(source_ds, from_tables: bool = False):
     ACROSS the coalesced blocks (bounded ≤ block count); the broadcast
     lookup dict dedupes them for free, so an exact global distinct (one
     more exchange) buys nothing here."""
+    import ray
+
     fn = distinct_mentions_from_tables_batch if from_tables \
         else _unique_mentions_batch
     part = source_ds.map_batches(fn, batch_format="pyarrow")
-    return part.repartition(8).map_batches(_unique_mentions_batch,
-                                           batch_format="pyarrow")
+    # coalesce width follows the cluster: a fixed count would cap the
+    # downstream resolve pass (the expensive index scan) at that many tasks
+    # on a big cluster; 2×CPUs keeps every slot busy while still bounding
+    # cross-block repeats (≤ block count per mention)
+    n_blocks = max(8, int(ray.cluster_resources().get("CPU", 4)) * 2)
+    return part.repartition(n_blocks).map_batches(_unique_mentions_batch,
+                                                  batch_format="pyarrow")
 
 
 def _broadcast_state(ref) -> tuple:
