@@ -261,6 +261,49 @@ houseoffraser.co.uk sportsdirect.com jdsports.co.uk
 """.split()
 
 # defensive dedupe (first occurrence keeps the lower token number)
+# third block: governments, intergovernmental bodies, sports, travel,
+# automotive, telecom, retail/brands, finance, health — still public
+# knowledge, completing the reference map's ~1000-entry breadth
+_POPULAR_PLDS += """
+usa.gov irs.gov nasa.gov nih.gov cdc.gov fda.gov noaa.gov usgs.gov
+loc.gov archives.gov state.gov treasury.gov defense.gov energy.gov
+epa.gov fcc.gov ftc.gov sec.gov uscis.gov weather.gov gov.uk nhs.uk
+parliament.uk europa.eu ec.europa.eu un.org who.int worldbank.org imf.org
+oecd.org wto.org nato.int icrc.org redcross.org unesco.org unicef.org
+fifa.com uefa.com olympics.com nba.com nfl.com mlb.com nhl.com
+premierleague.com bundesliga.com laliga.com seriea.it formula1.com
+motogp.com atptour.com wtatennis.com pgatour.com espncricinfo.com
+cricbuzz.com skysports.com eurosport.com marca.com as.com lequipe.fr
+gazzetta.it kicker.de toyota.com honda.com ford.com gm.com bmw.com
+mercedes-benz.com volkswagen.com audi.com porsche.com ferrari.com
+nissan-global.com hyundai.com kia.com volvo.com subaru.com mazda.com
+edmunds.com kbb.com autotrader.com cars.com carfax.com
+united.com delta.com aa.com southwest.com jetblue.com lufthansa.com
+britishairways.com airfrance.com klm.com emirates.com qatarairways.com
+singaporeair.com cathaypacific.com ryanair.com easyjet.com
+marriott.com hilton.com hyatt.com ihg.com accor.com wyndhamhotels.com
+verizon.com att.com t-mobile.com vodafone.com orange.com telefonica.com
+nike.com adidas.com puma.com underarmour.com lululemon.com zara.com
+hm.com uniqlo.com gap.com levi.com ralphlauren.com gucci.com lvmh.com
+chanel.com rolex.com cartier.com tiffany.com sephora.com ulta.com
+pfizer.com moderna.com novartis.com roche.com astrazeneca.com gsk.com
+sanofi.com merck.com jnj.com abbvie.com bayer.com lilly.com
+mayoclinic.org clevelandclinic.org hopkinsmedicine.org webmd.com
+healthline.com drugs.com medscape.com
+visa.com mastercard.com americanexpress.com discover.com stripe.com
+square.com venmo.com wise.com revolut.com n26.com monzo.com
+coinbase.com binance.com kraken.com blockchain.com etherscan.io
+allrecipes.com foodnetwork.com epicurious.com seriouseats.com
+bonappetit.com tasty.co delish.com simplyrecipes.com food52.com
+ancestry.com findagrave.com geni.com familysearch.org myheritage.com
+goodreads.com librarything.com gutenberg.org openlibrary.org worldcat.org
+discogs.com last.fm bandcamp.com soundcloud.com genius.com
+metacritic.com rottentomatoes.com boxofficemojo.com letterboxd.com
+tvguide.com tvtropes.org fandom.com mobygames.com giantbomb.com
+chess.com lichess.org boardgamegeek.com untappd.com vivino.com
+allmusic.com azlyrics.com setlist.fm songkick.com ticketmaster.com
+""".split()
+
 _POPULAR_PLDS = list(dict.fromkeys(_POPULAR_PLDS))
 
 reduction_map: dict[str, str] = {

@@ -395,7 +395,7 @@ class TestBreadthExtensions:
         compress/uncompress round-trips with scheme + www + subdomain."""
         from mannheimsearchjoinsengine_ray.functions import domains as D
 
-        assert len(D.reduction_map) >= 800
+        assert len(D.reduction_map) >= 950
         assert len(D.reduction_map) <= 1000  # #NNN# token space
         for pld in list(D.reduction_map)[::7]:  # every 7th (speed)
             for url in (f"http://{pld}/x/y", f"https://www.{pld}/a?b=1"):
