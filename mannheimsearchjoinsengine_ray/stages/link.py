@@ -337,39 +337,62 @@ def distinct_mentions(source_ds, from_tables: bool = False):
                                                   batch_format="pyarrow")
 
 
+def _flat(tbl: pa.Table, col: str):
+    """list column → (offsets int64[n+1], flat values numpy).  Offsets are
+    rebuilt from value lengths so sliced/concatenated chunks are safe."""
+    import pyarrow.compute as pc
+
+    c = tbl.column(col)
+    lens = pc.list_value_length(c).to_numpy(zero_copy_only=False)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    vals = pc.list_flatten(c).to_numpy(zero_copy_only=False)
+    return offs, vals
+
+
 def _broadcast_state(ref) -> tuple:
-    """ref → (mention→idx, per-mention hit arrays, gaps, attr flags,
-    candidate lists), built once per worker process (plasma-local get)."""
+    """ref → (mention→idx, flat hit/candidate arrays + offsets, gaps, attr
+    flags), built once per worker process (plasma-local get).
+
+    The state MUST stay flat-columnar: an earlier version materialized a
+    per-mention tuple of 5 numpy arrays for every broadcast mention up
+    front — 4 s uncontended, ~30 s on each of 16 simultaneously-building
+    workers (495 CPU-s measured at 32k mentions × ~120 candidates), which
+    was the entire post-shuffle link-phase regression.  Flat arrays build
+    vectorized in <0.2 s and per-unique views get sliced per batch, only
+    for mentions the batch actually contains."""
     key = ref.hex() if hasattr(ref, "hex") else str(id(ref))
     state = _WORKER_STATES.get(key)
     if state is None:
+        import os as _os
+        import time as _time
+
+        _t0 = _time.time()
         import ray
 
         tbl = ref if isinstance(ref, pa.Table) else ray.get(ref)
         ments = tbl.column("mention").to_pylist()
-        uris = tbl.column("uris").to_pylist()
-        scores = tbl.column("scores").to_pylist()
-        names = tbl.column("names").to_pylist()
-        etypes = tbl.column("etypes").to_pylist()
-        arrays = []
-        for i in range(len(ments)):
-            k = len(uris[i])
-            arrays.append((np.array(uris[i], dtype=object),
-                           np.array(scores[i], dtype=np.float64),
-                           np.arange(k, dtype=np.int32),
-                           np.array(names[i], dtype=object),
-                           np.array(etypes[i], dtype=object)))
+        uoffs, uvals = _flat(tbl, "uris")
+        _, svals = _flat(tbl, "scores")
+        _, nvals = _flat(tbl, "names")
+        _, evals = _flat(tbl, "etypes")
+        coffs, ceids = _flat(tbl, "cand_eids")
+        _, cscores = _flat(tbl, "cand_scores")
+        max_k = int((uoffs[1:] - uoffs[:-1]).max()) if len(ments) else 0
         state = (
             {m: i for i, m in enumerate(ments)},
-            arrays,
+            (uoffs, uvals, svals.astype(np.float64, copy=False),
+             nvals, evals, np.arange(max_k, dtype=np.int32)),
             tbl.column("gap").to_numpy(zero_copy_only=False),
             tbl.column("has_attrs").to_numpy(zero_copy_only=False),
-            (tbl.column("cand_eids").to_pylist(),
-             tbl.column("cand_scores").to_pylist()),
+            (coffs, ceids, cscores),
         )
         if len(_WORKER_STATES) > 4:
             _WORKER_STATES.clear()
         _WORKER_STATES[key] = state
+        if _os.environ.get("GRAFT_DEBUG_STATE"):
+            with open("/tmp/state_builds.log", "a") as _fh:
+                _fh.write(f"{_os.getpid()} {_time.time()-_t0:.3f}\n")
     return state
 
 
@@ -384,7 +407,8 @@ def merge_links_batch(batch: pa.Table, ref, index_dir: str, top_k: int,
     if n == 0:
         return pa.Table.from_pydict({c: [] for c in EDGE_SCHEMA.names},
                                     schema=EDGE_SCHEMA)
-    m2i, g_arrays, g_gaps, g_attrs, (g_eids, g_scores) = _broadcast_state(ref)
+    m2i, (uoffs, uvals, svals, nvals, evals, g_rank), g_gaps, g_attrs, \
+        (coffs, ceids, cscores) = _broadcast_state(ref)
     mentions = batch.column("mention").to_pylist()
     codes, uniques = pd.factorize(np.asarray(mentions, dtype=object))
     nu = len(uniques)
@@ -396,10 +420,13 @@ def merge_links_batch(batch: pa.Table, ref, index_dir: str, top_k: int,
     for j, m in enumerate(uniques):
         gi = m2i.get(m, -1)
         if gi >= 0:
-            uni_arrays[j] = g_arrays[gi]
+            a, b = uoffs[gi], uoffs[gi + 1]
+            uni_arrays[j] = (uvals[a:b], svals[a:b], g_rank[:b - a],
+                             nvals[a:b], evals[a:b])
             gaps_u[j] = g_gaps[gi]
             attrs_u[j] = g_attrs[gi]
-            cand_u[j] = (g_eids[gi], g_scores[gi])
+            ca, cb = coffs[gi], coffs[gi + 1]
+            cand_u[j] = (ceids[ca:cb], cscores[ca:cb])
         else:
             if fallback is None:
                 fallback = _core_for(index_dir, top_k, max_edit, fuzzy,
@@ -410,9 +437,11 @@ def merge_links_batch(batch: pa.Table, ref, index_dir: str, top_k: int,
             attrs_u[j] = bool(has_attrs)
             cand_u[j] = ([e for e, _ in scored], [s for _, s in scored])
 
-    index = _core_for(index_dir, top_k, max_edit, fuzzy, refine_factor).index
-
     def refinalize(j: int, cells: list[str]):
+        # the index loads lazily, only on a gate-passing row — most merge
+        # tasks never touch it
+        index = _core_for(index_dir, top_k, max_edit, fuzzy,
+                          refine_factor).index
         scored = list(zip(cand_u[j][0], cand_u[j][1]))
         return LinkerActor._hit_arrays(index.finalize(
             scored, top_k, context=cells, refine_factor=refine_factor))
@@ -461,9 +490,15 @@ def link_mentions(mentions_ds, index_dir: str,
         # merge tasks resolve per worker (bounded caches) instead
         ref = pa.Table.from_pydict({c: [] for c in RESOLVED_SCHEMA.names},
                                    schema=RESOLVED_SCHEMA)
+    # batch_size MUST stay None: a row-count target makes Ray bundle input
+    # blocks up to that many rows per task, and when this map fuses with the
+    # lazy upstream mention map the bundling counts TABLE-record rows — at
+    # 64k pages that collapsed 200 blocks into ~16 mega-tasks, capping the
+    # stage at half the cluster and letting one skewed bundle run the clock
+    # (measured 38 s vs 14 s for the identical work; see BASELINE.md).
     return mentions_ds.map_batches(
         merge_links_batch, fn_kwargs=dict(ref=ref, **kw),
-        batch_format="pyarrow", batch_size=cfg.batch_size)
+        batch_format="pyarrow", batch_size=None)
 
 
 def top1_links(edges_ds):
