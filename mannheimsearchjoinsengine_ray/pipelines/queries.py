@@ -701,28 +701,97 @@ def q_ann_topk(sf_dir: str):
     return res[["query_id", "neighbor_id", "rank"]]
 
 
+def _persist_ann_oracle(sf_dir: str):
+    """IVF oracle inputs: the physical index's (vec_id, centroid) assignment
+    and the unit centroid vectors, two fixed parquet paths the static oracle
+    SQL reads.  DuckDB then independently recomputes BOTH the probe choice
+    (top-nprobe centroids by double-precision cosine, ties by centroid id)
+    and the per-query top-k over the probed partitions' members — only the
+    partition LAYOUT is trusted, and that layout is certified exact against
+    brute force by ``ann_ivf_exact``.  Atomically replaced per sf key.
+    Returns the index centroids so callers share the exact assignment."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..stages.ann import build_ivf_index
+
+    key = os.path.basename(sf_dir.rstrip("/"))
+    index_dir = f"/tmp/graft_ivf_{key}"
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = build_ivf_index(emb, index_dir, n_centroids=16)
+
+    os.makedirs(_KG_ORACLE_BASE, exist_ok=True)
+    marker = os.path.join(_KG_ORACLE_BASE, "ann.key")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == key and all(
+                os.path.exists(os.path.join(_KG_ORACLE_BASE, f))
+                for f in ("ann_assignment.parquet", "ann_centroids.parquet")):
+                return cents
+
+    assign_ids: list[int] = []
+    assign_cids: list[int] = []
+    for d in sorted(os.listdir(index_dir)):
+        if not d.startswith("centroid="):
+            continue
+        cid = int(d.split("=")[1])
+        part_dir = os.path.join(index_dir, d)
+        for f in sorted(os.listdir(part_dir)):
+            if f.endswith(".parquet"):
+                ids = pq.read_table(os.path.join(part_dir, f),
+                                    columns=["vec_id"]).column("vec_id")
+                assign_ids.extend(ids.to_pylist())
+                assign_cids.extend([cid] * len(ids))
+    for name, tbl in (
+        ("ann_assignment.parquet", pa.table({
+            "vec_id": pa.array(assign_ids, pa.int64()),
+            "centroid": pa.array(assign_cids, pa.int32())})),
+        ("ann_centroids.parquet", pa.table({
+            "centroid": pa.array(range(len(cents)), pa.int32()),
+            "cvec": pa.array([row.astype("float64").tolist()
+                              for row in cents],
+                             pa.list_(pa.float64()))})),
+    ):
+        path = os.path.join(_KG_ORACLE_BASE, name)
+        pq.write_table(tbl, path + ".tmp")
+        os.replace(path + ".tmp", path)
+    with open(marker + ".tmp", "w") as fh:
+        fh.write(key)
+    os.replace(marker + ".tmp", marker)
+    return cents
+
+
 def q_ann_ivf_topk(sf_dir: str):
-    """IVF ANN (centroid-partitioned probe).  Rows-only oracle; recall vs the
-    brute-force baseline is asserted in tests."""
+    """IVF ANN (centroid-partitioned probe).  SQL-oracled: DuckDB recomputes
+    the probe choice and the top-k over probed members from the persisted
+    assignment/centroids (``_persist_ann_oracle``) — knn_ivf trains the same
+    deterministic centroids (seed 42, same sample) as the physical index, so
+    the assignment is shared.  Recall vs brute force asserted in tests."""
     from ..stages.ann import knn_ivf
 
+    cents = _persist_ann_oracle(sf_dir)  # oracle inputs (cached by sf key)
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     qdf = emb.map_batches(
         lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(20))),
         batch_format="pyarrow").to_pandas().sort_values("vec_id")
     res = knn_ivf(emb, np.stack(qdf["embedding"].to_numpy()), k=5,
-                  n_centroids=16, nprobe=4, query_ids=qdf["vec_id"].to_numpy())
+                  n_centroids=16, nprobe=4, query_ids=qdf["vec_id"].to_numpy(),
+                  centroids=cents)
     return res[["query_id", "neighbor_id", "rank"]]
 
 
 def q_ann_ivf_partitioned(sf_dir: str):
     """IVF over a PHYSICALLY centroid-partitioned index (build once under
     /tmp, probes prune at the file listing — only nprobe partitions read).
-    Rows-only oracle; recall + pruning are asserted in tests."""
+    SQL-oracled via the persisted assignment/centroids (same oracle as
+    ``ann_ivf_topk``); recall + pruning are asserted in tests."""
     import os as _os
 
     from ..stages.ann import build_ivf_index, knn_ivf_index
 
+    _persist_ann_oracle(sf_dir)  # oracle inputs (cached by sf key)
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     index_dir = f"/tmp/graft_ivf_{_os.path.basename(sf_dir.rstrip('/'))}"
     build_ivf_index(emb, index_dir, n_centroids=16)
@@ -1029,11 +1098,14 @@ def q_kg_infogather_augment(sf_dir: str):
     """InfoGather entity augmentation (QueryProcessor.AugmentTable
     :51-89): query keys = 30 gazetteer entity labels, attribute 'founded';
     seeds via key-overlap DMA, TSP via personalized PageRank on the
-    virtual-table graph, TSP-weighted value vote.  Rows-only oracle."""
+    virtual-table graph, TSP-weighted value vote.  SQL-oracled: DuckDB
+    recomputes seeds, graph, 15 unrolled PPR iterations and the vote from
+    the persisted postings/meta (``_persist_ig_oracle``)."""
     from .kg import extract_tables_ds, read_pages
     from ..sources.pages import entity_label
     from ..stages.infogather import augment_by_attribute
 
+    _persist_ig_oracle(sf_dir)  # oracle inputs (cached by corpus key)
     pages = read_pages(corpus_for(sf_dir), columns=["url", "html"])
     tables = extract_tables_ds(pages)
     query_keys = [entity_label(i) for i in range(30)]
@@ -1515,6 +1587,78 @@ def _persist_lid_raw(sf_dir: str) -> None:
                     os.path.join(tmp, "markers.parquet"))
     shutil.rmtree(mk_dir, ignore_errors=True)
     os.replace(tmp, mk_dir)
+    with open(marker + ".tmp", "w") as fh:
+        fh.write(key)
+    os.replace(marker + ".tmp", marker)
+
+
+def _persist_ig_oracle(sf_dir: str) -> None:
+    """InfoGather oracle inputs: the (key_norm, vt_id, value) postings and
+    (vt_id, header, n_rows) virtual-table meta from the extracted corpus
+    (clear_string / HTML extraction are Python ports pinned by goldens),
+    the synonym-aware label similarity per distinct header vs 'founded'
+    (pinned by matching tests), and the 30 normalized query keys.  DuckDB
+    then independently recomputes EVERYTHING downstream: key-overlap + DMA
+    seeds, the star-capped co-occurrence graph, 15 unrolled personalized-
+    PageRank iterations, the seed floor, and the TSP-weighted value vote —
+    i.e. the whole InfoGather execution model.  Atomic, cached by corpus."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from .kg import extract_tables_ds, read_pages
+    from ..sources.pages import entity_label
+    from ..stages.infogather import (
+        key_value_postings_batch,
+        virtual_tables_batch,
+    )
+    from ..stages.matching import label_similarity
+    from ..functions.normalize import clear_string
+
+    corpus = corpus_for(sf_dir)
+    key = os.path.basename(corpus.rstrip("/"))
+    os.makedirs(_KG_ORACLE_BASE, exist_ok=True)
+    marker = os.path.join(_KG_ORACLE_BASE, "ig.key")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == key and all(
+                os.path.isdir(os.path.join(_KG_ORACLE_BASE, d))
+                for d in ("ig_postings", "ig_vt", "ig_static")):
+                return
+
+    tables = extract_tables_ds(read_pages(corpus, columns=["url", "html"]))
+    for name, ds in (
+        ("ig_postings", tables.map_batches(key_value_postings_batch,
+                                           batch_format="pyarrow")),
+        ("ig_vt", tables.map_batches(virtual_tables_batch,
+                                     batch_format="pyarrow")),
+    ):
+        out_dir = os.path.join(_KG_ORACLE_BASE, name)
+        tmp = out_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        os.replace(tmp, out_dir)
+
+    headers = sorted(set(
+        _pq.read_table(os.path.join(_KG_ORACLE_BASE, "ig_vt"),
+                       columns=["header"]).column("header").to_pylist()))
+    keys_norm = sorted({clear_string(entity_label(i), True)
+                        for i in range(30)} - {""})
+    st_dir = os.path.join(_KG_ORACLE_BASE, "ig_static")
+    tmp = st_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    _pq.write_table(pa.table({
+        "header": pa.array(headers, pa.string()),
+        "sim": pa.array([label_similarity(h, "founded") for h in headers],
+                        pa.float64())}),
+        os.path.join(tmp, "header_sims.parquet"))
+    _pq.write_table(pa.table({"key_norm": pa.array(keys_norm, pa.string())}),
+                    os.path.join(tmp, "query_keys.parquet"))
+    shutil.rmtree(st_dir, ignore_errors=True)
+    os.replace(tmp, st_dir)
     with open(marker + ".tmp", "w") as fh:
         fh.write(key)
     os.replace(marker + ".tmp", marker)
@@ -2194,7 +2338,7 @@ ORACLE_SQL: dict[str, str] = {
               ON i.left_id = c.left_id AND i.right_id = c.right_id
             WHERE CAST(i.i AS DOUBLE) / (za.n + zb.n - i.i) >= 0.5
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT left_id AS a, right_id AS b FROM verified
             UNION ALL
             SELECT right_id, left_id FROM verified
@@ -2261,6 +2405,129 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 ORACLE_SQL["ann_ivf_exact"] = ORACLE_SQL["ann_topk"]
+
+# IVF probe (nprobe=4 of 16): DuckDB re-derives the probe choice from the
+# persisted unit centroids (double cosine, ties by centroid id — matching
+# the engine's stable argsort) and the top-k over the probed partitions'
+# members from the persisted assignment; see _persist_ann_oracle
+ORACLE_SQL["ann_ivf_topk"] = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id < 20),
+    probes AS (
+        SELECT query_id, qe, centroid,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY list_cosine_similarity(qe, cvec) DESC, centroid
+               ) AS cr
+        FROM q CROSS JOIN read_parquet('/tmp/graft_kg_oracle/ann_centroids.parquet')
+    )
+    SELECT query_id, e.vec_id AS neighbor_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_cosine_similarity(qe, e.embedding) DESC, e.vec_id
+           ) - 1 AS INTEGER) AS rank
+    FROM probes p
+    JOIN read_parquet('/tmp/graft_kg_oracle/ann_assignment.parquet') a
+      ON a.centroid = p.centroid
+    JOIN embeddings e ON e.vec_id = a.vec_id
+    WHERE p.cr <= 4
+    QUALIFY rank < 5
+"""
+ORACLE_SQL["ann_ivf_partitioned"] = ORACLE_SQL["ann_ivf_topk"]
+
+
+def _ig_oracle_sql(iters: int = 15, alpha: float = 0.15,
+                   max_per_key: int = 20, max_seeds: int = 50,
+                   sim_threshold: float = 0.5) -> str:
+    """The InfoGather oracle, generated: seeds → star-capped graph → ``iters``
+    unrolled personalized-PageRank iterations (DuckDB 1.0 has no keyed
+    recursion, so the fixed-point unrolls as chained aggregate CTEs) → seed
+    floor → TSP-weighted vote with the rounded deterministic tie-break.
+    Mirrors stages/infogather.py's driver path (_ppr_local), which the
+    distributed path is equivalence-tested against."""
+    base = _KG_ORACLE_BASE
+    head = f"""
+    WITH keys AS (SELECT key_norm FROM read_parquet('{base}/ig_static/query_keys.parquet')),
+    post AS MATERIALIZED (SELECT key_norm, vt_id, value FROM read_parquet('{base}/ig_postings/*.parquet')),
+    vt AS MATERIALIZED (SELECT vt_id, header, n_rows FROM read_parquet('{base}/ig_vt/*.parquet')),
+    sims AS MATERIALIZED (SELECT header, sim FROM read_parquet('{base}/ig_static/header_sims.parquet')),
+    kv AS MATERIALIZED (SELECT DISTINCT key_norm, vt_id FROM post),
+    overlap AS MATERIALIZED (
+        SELECT kv.vt_id, COUNT(DISTINCT kv.key_norm) AS ovl
+        FROM kv JOIN keys USING (key_norm) GROUP BY kv.vt_id),
+    relevant AS MATERIALIZED (
+        SELECT o.vt_id, v.header,
+               o.ovl * 1.0 / LEAST((SELECT COUNT(*) FROM keys),
+                                   GREATEST(v.n_rows, 1)) AS dma
+        FROM overlap o JOIN vt v USING (vt_id)),
+    seeds AS MATERIALIZED (
+        SELECT vt_id, dma FROM (
+            SELECT r.vt_id, r.dma,
+                   row_number() OVER (ORDER BY r.dma DESC, r.vt_id) AS rn
+            FROM relevant r JOIN sims s ON s.header = r.header
+            WHERE s.sim >= {sim_threshold})
+        WHERE rn <= {max_seeds}),
+    beta AS MATERIALIZED (SELECT vt_id, dma / (SELECT SUM(dma) FROM seeds) AS b FROM seeds),
+    keycnt AS MATERIALIZED (SELECT key_norm, COUNT(*) AS c, MIN(vt_id) AS mn
+               FROM kv GROUP BY key_norm),
+    rawpairs AS MATERIALIZED (
+        SELECT a.vt_id AS src, b.vt_id AS dst
+        FROM kv a
+        JOIN keycnt k ON k.key_norm = a.key_norm AND k.c BETWEEN 2 AND {max_per_key}
+        JOIN kv b ON b.key_norm = a.key_norm AND a.vt_id < b.vt_id
+        UNION ALL
+        SELECT k.mn AS src, a.vt_id AS dst
+        FROM kv a
+        JOIN keycnt k ON k.key_norm = a.key_norm AND k.c > {max_per_key}
+        WHERE a.vt_id <> k.mn),
+    edges AS MATERIALIZED (SELECT src, dst, COUNT(*) * 1.0 AS weight
+              FROM rawpairs GROUP BY src, dst),
+    dedges AS MATERIALIZED (SELECT src, dst, weight FROM edges
+               UNION ALL SELECT dst, src, weight FROM edges),
+    outsum AS MATERIALIZED (SELECT src AS node, SUM(weight) AS osum
+               FROM dedges GROUP BY src),
+    ne AS MATERIALIZED (SELECT d.src, d.dst, d.weight / GREATEST(o.osum, 1e-12) AS w
+           FROM dedges d JOIN outsum o ON o.node = d.src),
+    nodes AS MATERIALIZED (SELECT src AS node FROM dedges
+              UNION SELECT dst FROM dedges
+              UNION SELECT vt_id FROM beta),
+    v0 AS MATERIALIZED (SELECT n.node, COALESCE(b.b, 0.0) AS tsp
+           FROM nodes n LEFT JOIN beta b ON b.vt_id = n.node)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+    v{i} AS MATERIALIZED (
+        SELECT n.node,
+               {1.0 - alpha} * COALESCE(c.s, 0.0)
+               + {alpha} * COALESCE(b.b, 0.0) AS tsp
+        FROM nodes n
+        LEFT JOIN (SELECT ne.dst AS node, SUM(ne.w * v.tsp) AS s
+                   FROM ne JOIN v{i - 1} v ON v.node = ne.src
+                   GROUP BY ne.dst) c USING (node)
+        LEFT JOIN beta b ON b.vt_id = n.node)""")
+    tail = f""",
+    tspr AS MATERIALIZED (
+        SELECT r.vt_id,
+               GREATEST(COALESCE(v.tsp, 0.0),
+                        COALESCE({alpha} * b.b, 0.0)) AS w
+        FROM relevant r
+        LEFT JOIN v{iters} v ON v.node = r.vt_id
+        LEFT JOIN beta b ON b.vt_id = r.vt_id),
+    votes AS MATERIALIZED (
+        SELECT p.key_norm, p.value, SUM(t.w) AS raw_score
+        FROM post p
+        JOIN keys USING (key_norm)
+        JOIN tspr t ON t.vt_id = p.vt_id AND t.w > 0
+        GROUP BY p.key_norm, p.value)
+    SELECT key_norm, value, ROUND(raw_score, 9) AS score
+    FROM votes
+    QUALIFY row_number() OVER (
+        PARTITION BY key_norm
+        ORDER BY ROUND(raw_score, 9) DESC, value) = 1"""
+    return head + "".join(steps) + tail
+
+
+ORACLE_SQL["kg_infogather_augment"] = _ig_oracle_sql()
 
 QUERIES: dict = {
     "pricing_summary": q_pricing_summary,

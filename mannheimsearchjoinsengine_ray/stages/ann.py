@@ -180,8 +180,11 @@ def knn_ivf_index(index_dir: str, query_matrix: np.ndarray, k: int = 5,
     import ray.data as rd
 
     cents = np.load(os.path.join(index_dir, "centroids.npy"))
-    q = _unit(np.asarray(query_matrix, dtype=np.float32))
-    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]    # (Q, nprobe)
+    # float64 + stable sort: the probe choice must be reproducible by the
+    # DuckDB oracle (double-precision cosine, ties broken by centroid id)
+    q = _unit(np.asarray(query_matrix, dtype=np.float64), dtype=np.float64)
+    probe = np.argsort(-(q @ cents.astype(np.float64).T), axis=1,
+                       kind="stable")[:, :nprobe]             # (Q, nprobe)
     files = ivf_partition_files(index_dir, probe.reshape(-1))
     if stats is not None:
         all_parts = [d for d in os.listdir(index_dir)
@@ -247,17 +250,30 @@ def knn_ivf_index(index_dir: str, query_matrix: np.ndarray, k: int = 5,
 def knn_ivf(emb_ds, query_matrix: np.ndarray, k: int = 5, n_centroids: int = 16,
             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
             query_ids: np.ndarray | None = None,
-            sample_size: int = 2048) -> pd.DataFrame:
-    """IVF ANN: probe only the nprobe nearest centroid partitions per query."""
+            sample_size: int = 2048,
+            centroids: np.ndarray | None = None) -> pd.DataFrame:
+    """IVF ANN: probe only the nprobe nearest centroid partitions per query.
+
+    ``centroids``: pass precomputed centroids (e.g. from ``build_ivf_index``)
+    to pin the assignment — ``random_sample``'s draw depends on the block
+    layout, so two otherwise-identical calls can train different centroids."""
     import ray
 
-    sample = emb_ds.random_sample(
-        min(1.0, sample_size / max(1, emb_ds.count())), seed=42).to_pandas()
-    cents = train_centroids(np.stack(sample[vec_col].to_numpy()), n_centroids)
+    if centroids is not None:
+        cents = centroids
+    else:
+        sample = emb_ds.random_sample(
+            min(1.0, sample_size / max(1, emb_ds.count())),
+            seed=42).to_pandas()
+        cents = train_centroids(np.stack(sample[vec_col].to_numpy()),
+                                n_centroids)
     assigned = assign_centroids(emb_ds, cents, id_col, vec_col)
 
-    q = _unit(np.asarray(query_matrix, dtype=np.float32))
-    probe = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]   # (Q, nprobe)
+    # float64 + stable sort, matching knn_ivf_index: probe choice and
+    # neighbor ordering must be reproducible by the DuckDB oracle
+    q = _unit(np.asarray(query_matrix, dtype=np.float64), dtype=np.float64)
+    probe = np.argsort(-(q @ cents.astype(np.float64).T), axis=1,
+                       kind="stable")[:, :nprobe]            # (Q, nprobe)
     q_ref = ray.put(q)
     probe_ref = ray.put(probe)
 
@@ -265,7 +281,8 @@ def knn_ivf(emb_ds, query_matrix: np.ndarray, k: int = 5, n_centroids: int = 16,
         qm, pr = ray.get(q_ref), ray.get(probe_ref)
         ids = np.asarray(batch.column(id_col).to_pylist())
         cent = np.asarray(batch.column("centroid").to_pylist())
-        vecs = _unit(np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32))
+        vecs = _unit(np.asarray(batch.column(vec_col).to_pylist(),
+                                dtype=np.float64), dtype=np.float64)
         rows_q, rows_id, rows_s = [], [], []
         for qi in range(qm.shape[0]):
             mask = np.isin(cent, pr[qi])

@@ -428,6 +428,11 @@ def augment_by_attribute(tables_ds, query_keys: list[str],
         ["key_norm", "value"], {"score": ("score", "sum")}).to_pandas()
     if votes.empty:
         return pd.DataFrame({"key_norm": [], "value": [], "score": []})
+    # round BEFORE the argmax: two values backed by the same virtual-table
+    # set have mathematically equal scores whose float sums differ only in
+    # summation order — rounding makes the (score desc, value asc) tie-break
+    # deterministic and reproducible by the SQL oracle
+    votes["score"] = votes["score"].round(9)
     votes = votes.sort_values(["key_norm", "score", "value"],
                               ascending=[True, False, True])
     best = votes.drop_duplicates("key_norm").reset_index(drop=True)

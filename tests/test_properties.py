@@ -3,8 +3,10 @@ determinism, sketch stability."""
 
 from __future__ import annotations
 
+import unicodedata
+
 import pytest
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from mannheimsearchjoinsengine_ray.functions import hashing, normalize, parsers
@@ -30,6 +32,13 @@ def test_simple_normalization_reaches_fixpoint(s):
 @settings(max_examples=300, deadline=None)
 @given(text_strategy)
 def test_clear_string_idempotent(s):
+    # NOT idempotent for caseless uppercase letters (category Lu with no
+    # lowercase mapping, e.g. mathematical alphanumerics U+1D71C): pass 1
+    # lowercases their neighbors without splitting, creating a NEW camel
+    # boundary ('a𝜜') that pass 2 then splits — same behavior as the
+    # reference's WordDelimiter+toLowerCase chain, so the port keeps it
+    assume(not any(c.lower() == c and unicodedata.category(c) == "Lu"
+                   for c in s))
     once = normalize.clear_string(s)
     twice = normalize.clear_string(once)
     assert twice == once
