@@ -317,24 +317,32 @@ def distinct_mentions_from_tables_batch(batch: pa.Table) -> pa.Table:
 
 
 def distinct_mentions(source_ds, from_tables: bool = False):
-    """Near-distinct mention strings WITHOUT an all-to-all shuffle:
-    per-block unique (the combiner — blocks repeat the same head mentions)
-    → coalesce into a few blocks → re-unique.  Mentions may still repeat
-    ACROSS the coalesced blocks (bounded ≤ block count); the broadcast
-    lookup dict dedupes them for free, so an exact global distinct (one
-    more exchange) buys nothing here."""
+    """EXACT distinct mention strings: per-block unique (the combiner —
+    blocks repeat the same head mentions, so this is the big reduction) →
+    one bucket-hash exchange over the already-tiny per-block-unique set →
+    per-bucket unique → coalesce to cluster width for the resolve pass.
+
+    The exchange is NOT optional: a near-distinct set (per-block unique
+    only) repeats each mention once per block, so the resolve pass paid
+    the cold index scan blocks× per mention and the broadcast table grew
+    blocks× (measured 53k rows / 130 MB for ~1k true mentions at 160
+    blocks — worker state builds alone cost 149 CPU-s).  The exchange
+    input is bounded by true-distinct × block-count, the same magnitude
+    as the resolve output itself."""
     import ray
+
+    from .aggregates import dedupe_by_key
 
     fn = distinct_mentions_from_tables_batch if from_tables \
         else _unique_mentions_batch
     part = source_ds.map_batches(fn, batch_format="pyarrow")
     # coalesce width follows the cluster: a fixed count would cap the
     # downstream resolve pass (the expensive index scan) at that many tasks
-    # on a big cluster; 2×CPUs keeps every slot busy while still bounding
-    # cross-block repeats (≤ block count per mention)
+    # on a big cluster; 2×CPUs keeps every slot busy
+    # bucket count doubles as the output block count (one block per bucket),
+    # so the resolve pass schedules at cluster width with no extra exchange
     n_blocks = max(8, int(ray.cluster_resources().get("CPU", 4)) * 2)
-    return part.repartition(n_blocks).map_batches(_unique_mentions_batch,
-                                                  batch_format="pyarrow")
+    return dedupe_by_key(part, "mention", num_buckets=n_blocks)
 
 
 def _flat(tbl: pa.Table, col: str):
@@ -484,6 +492,16 @@ def link_mentions(mentions_ds, index_dir: str,
                  for t in ray.get(resolved.to_arrow_refs()) if len(t)]
         tbl = pa.concat_tables(parts) if parts else pa.Table.from_pydict(
             {c: [] for c in RESOLVED_SCHEMA.names}, schema=RESOLVED_SCHEMA)
+        if tbl.num_rows:
+            # belt-and-braces: the broadcast must hold each mention ONCE —
+            # any upstream duplication multiplies every worker's state-build
+            # cost and the broadcast payload (resolution is deterministic
+            # per mention, so first-wins is safe)
+            codes, _ = pd.factorize(
+                np.asarray(tbl.column("mention").to_pylist(), dtype=object))
+            first = np.unique(codes, return_index=True)[1]
+            if len(first) < tbl.num_rows:
+                tbl = tbl.take(pa.array(np.sort(first)))
         ref = ray.put(tbl)
     else:
         # broadcast would not fit comfortably in every worker's heap; the
