@@ -550,9 +550,11 @@ def test_link_mentions_broadcast_fallback_pool_equivalence(ray_session, tmp_path
 
 
 def test_distinct_mentions_from_tables_matches_mention_map(ray_session):
-    """distinct_mentions(tables, from_tables=True) must cover exactly the
-    mention strings the full mention map emits (it may repeat them across
-    coalesced blocks; the broadcast dict dedupes)."""
+    """distinct_mentions(tables, from_tables=True) must emit EXACTLY the
+    distinct mention strings of the full mention map — each ONCE.  The
+    exactness is load-bearing: a near-distinct set (per-block unique only)
+    multiplies the resolve cost and the broadcast payload by the
+    cross-block duplication factor (BASELINE.md #25)."""
     import ray.data as rd
 
     specs = [P.make_page_spec(i, seed=7) for i in range(30)]
@@ -561,11 +563,42 @@ def test_distinct_mentions_from_tables_matches_mention_map(ray_session):
     from mannheimsearchjoinsengine_ray.pipelines.kg import extract_tables_ds
 
     tables = extract_tables_ds(pages)
-    got = set()
-    for b in L.distinct_mentions(tables, from_tables=True) \
-            .to_pandas()["mention"]:
-        got.add(b)
+    got_list = list(L.distinct_mentions(tables, from_tables=True)
+                    .to_pandas()["mention"])
     want = set(tables.map_batches(L.mentions_from_tables_batch,
                                   batch_format="pyarrow")
                .to_pandas()["mention"])
-    assert got == want
+    assert set(got_list) == want
+    assert len(got_list) == len(want), \
+        f"near-distinct leak: {len(got_list)} rows for {len(want)} mentions"
+
+
+def test_resolved_broadcast_dedupes_duplicate_mentions(ray_session, tmp_path):
+    """link_mentions must first-wins-dedupe the resolved table before
+    ray.put even when the distinct_ds it was handed carries duplicates."""
+    import ray.data as rd
+
+    from mannheimsearchjoinsengine_ray.config import DEFAULT_CONFIG
+    from mannheimsearchjoinsengine_ray.sources.pages import make_gazetteer
+    from mannheimsearchjoinsengine_ray.state.index import build_index
+
+    index_dir = str(tmp_path / "idx")
+    build_index(rd.from_arrow(pa.table(make_gazetteer(50))), index_dir,
+                num_shards=2)
+    names = make_gazetteer(50)["label"][:5]
+    mentions = rd.from_items(
+        [{"url": "u", "table_idx": 0, "row_idx": i, "mention": m,
+          "context": ""} for i, m in enumerate(names)])
+    dup_distinct = rd.from_items(
+        [{"mention": m} for m in names * 4])      # 4x duplicated
+    exact_distinct = rd.from_items([{"mention": m} for m in names])
+    e_dup = L.top1_links(L.link_mentions(
+        mentions, index_dir, DEFAULT_CONFIG,
+        distinct_ds=dup_distinct)).to_pandas()
+    e_exact = L.top1_links(L.link_mentions(
+        mentions, index_dir, DEFAULT_CONFIG,
+        distinct_ds=exact_distinct)).to_pandas()
+    cols = ["mention", "entity_uri", "score"]
+    pd.testing.assert_frame_equal(
+        e_dup.sort_values(cols).reset_index(drop=True)[cols],
+        e_exact.sort_values(cols).reset_index(drop=True)[cols])
