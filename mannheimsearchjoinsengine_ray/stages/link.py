@@ -369,8 +369,12 @@ def _broadcast_state(ref) -> tuple:
     was the entire post-shuffle link-phase regression.  Flat arrays build
     vectorized in <0.2 s and per-unique views get sliced per batch, only
     for mentions the batch actually contains."""
-    key = ref.hex() if hasattr(ref, "hex") else str(id(ref))
-    state = _WORKER_STATES.get(key)
+    # only ObjectRefs are cacheable: a plain pa.Table (the co-grouped merge
+    # path passes one per bucket) can be freed and its id() reused by a NEW
+    # table, so id-keyed caching would serve stale state
+    cacheable = hasattr(ref, "hex")
+    key = ref.hex() if cacheable else None
+    state = _WORKER_STATES.get(key) if cacheable else None
     if state is None:
         import os as _os
         import time as _time
@@ -395,9 +399,10 @@ def _broadcast_state(ref) -> tuple:
             tbl.column("has_attrs").to_numpy(zero_copy_only=False),
             (coffs, ceids, cscores),
         )
-        if len(_WORKER_STATES) > 4:
-            _WORKER_STATES.clear()
-        _WORKER_STATES[key] = state
+        if cacheable:
+            if len(_WORKER_STATES) > 4:
+                _WORKER_STATES.clear()
+            _WORKER_STATES[key] = state
         if _os.environ.get("GRAFT_DEBUG_STATE"):
             with open("/tmp/state_builds.log", "a") as _fh:
                 _fh.write(f"{_os.getpid()} {_time.time()-_t0:.3f}\n")
@@ -458,21 +463,111 @@ def merge_links_batch(batch: pa.Table, ref, index_dir: str, top_k: int,
                       refine_factor, refinalize)
 
 
+def _merge_links_cogrouped(df: pd.DataFrame, index_dir: str, top_k: int,
+                           max_edit: int, fuzzy: bool,
+                           refine_factor: float) -> pa.Table:
+    """One hash(mention) bucket of the co-partitioned merge: resolved rows
+    (``__payload`` = pickled per-mention resolution) + mention rows →
+    edges, through the same merge core as the broadcast path (the bucket's
+    resolved slice plays the broadcast table)."""
+    import pickle
+
+    res = df[df["__payload"].notna()]
+    men = df[df["__payload"].isna()]
+    if men.empty:
+        return pa.Table.from_pydict(
+            {c: [] for c in EDGE_SCHEMA.names},
+            schema=EDGE_SCHEMA).to_pandas()
+    cols: dict[str, list] = {name: [] for name in RESOLVED_SCHEMA.names}
+    for m, payload in zip(res["mention"], res["__payload"]):
+        (uris, scores, names, etypes, gap, has_attrs,
+         eids, cscores) = pickle.loads(payload)
+        cols["mention"].append(m)
+        cols["uris"].append(uris)
+        cols["scores"].append(scores)
+        cols["names"].append(names)
+        cols["etypes"].append(etypes)
+        cols["gap"].append(gap)
+        cols["has_attrs"].append(has_attrs)
+        cols["cand_eids"].append(eids)
+        cols["cand_scores"].append(cscores)
+    local_ref = pa.Table.from_pydict(cols, schema=RESOLVED_SCHEMA)
+    batch = pa.Table.from_pydict({
+        "url": pa.array(men["url"], pa.string()),
+        "table_idx": pa.array(men["table_idx"].astype("int32")),
+        "row_idx": pa.array(men["row_idx"].astype("int32")),
+        "mention": pa.array(men["mention"], pa.string()),
+        "context": pa.array(men["context"], pa.string()),
+    }, schema=MENTION_SCHEMA)
+    return merge_links_batch(batch, local_ref, index_dir, top_k, max_edit,
+                             fuzzy, refine_factor).to_pandas()
+
+
+def _link_merge_join(mentions_ds, resolved_ds, kw: dict, num_buckets: int):
+    """Co-partitioned merge for resolved sets too large to broadcast: both
+    sides bucket by hash(mention) (the resolved payload rides as ONE
+    pickled cell per distinct mention), one constant-cardinality groupby,
+    and each bucket merges its mention rows against its resolved slice —
+    the resolved table never lands on the driver or in any single worker
+    whole.  Same partitioning assumption as every bucket_join in the repo:
+    a bucket (≈ distinct-mentions / num_buckets plus its mention rows)
+    fits one worker's heap."""
+    import pickle
+
+    from ..functions.hashing import hash64
+
+    def tag_mentions(t: pa.Table) -> pd.DataFrame:
+        df = t.select(list(MENTION_SCHEMA.names)).to_pandas()
+        # int64 on both union sides — mixed-width blocks break the groupby
+        df["table_idx"] = df["table_idx"].astype("int64")
+        df["row_idx"] = df["row_idx"].astype("int64")
+        df["__payload"] = pd.Series([None] * len(df), dtype=object)
+        df["__bucket"] = (hash64(df["mention"].astype(str).to_numpy())
+                          % np.uint64(num_buckets)).astype("int64")
+        return df
+
+    def tag_resolved(t: pa.Table) -> pd.DataFrame:
+        payloads = [
+            pickle.dumps((u, s, nm, et, g, h, ce, cs), protocol=4)
+            for u, s, nm, et, g, h, ce, cs in zip(
+                t.column("uris").to_pylist(), t.column("scores").to_pylist(),
+                t.column("names").to_pylist(), t.column("etypes").to_pylist(),
+                t.column("gap").to_pylist(), t.column("has_attrs").to_pylist(),
+                t.column("cand_eids").to_pylist(),
+                t.column("cand_scores").to_pylist())]
+        ments = t.column("mention").to_pylist()
+        df = pd.DataFrame({
+            "url": "", "table_idx": 0, "row_idx": 0, "mention": ments,
+            "context": "", "__payload": pd.Series(payloads, dtype=object)})
+        df["__bucket"] = (hash64(df["mention"].astype(str).to_numpy())
+                          % np.uint64(num_buckets)).astype("int64")
+        return df
+
+    tagged = mentions_ds.map_batches(tag_mentions, batch_format="pyarrow",
+                                     batch_size=None).union(
+        resolved_ds.map_batches(tag_resolved, batch_format="pyarrow",
+                                batch_size=None))
+    return tagged.groupby("__bucket").map_groups(
+        lambda g: _merge_links_cogrouped(g, **kw), batch_format="pandas")
+
+
 def link_mentions(mentions_ds, index_dir: str,
                   cfg: PipelineConfig = DEFAULT_CONFIG, top_k: int = 5,
                   distinct_ds=None):
     """mentions → edges.
 
     Scale shape (see module comment): distinct mentions resolve ONCE
-    cluster-wide, the resolved table broadcasts via ``ray.put``, and a
-    stateless task map merges it into the mention stream — total cold-scan
-    work is ``O(distinct)`` regardless of cluster size, and the merge
-    schedules at full cluster width (no reserved actor pool).  Above
-    ``cfg.link_broadcast_limit`` distinct mentions the broadcast is skipped
-    and merge tasks fall back to per-worker resolution caches (the
-    pre-round-3 behavior, still correct, degraded cold-scan reuse).
+    cluster-wide; within ``cfg.link_broadcast_limit`` the resolved table
+    broadcasts via ``ray.put`` and a stateless task map merges it into the
+    mention stream — total cold-scan work is ``O(distinct)`` regardless of
+    cluster size, and the merge schedules at full cluster width (no
+    reserved actor pool).  ABOVE the limit the merge runs as a
+    co-partitioned bucket join instead (``_link_merge_join``): same
+    O(distinct) resolve, one hash(mention) exchange, no broadcast — the
+    10^12-document path, where the distinct-mention set is not provably
+    worker-heap-sized.
 
-    ``distinct_ds``: optional pre-built near-distinct mention Dataset (see
+    ``distinct_ds``: optional pre-built distinct mention Dataset (see
     ``distinct_mentions(..., from_tables=True)``) — lets run_full derive the
     distinct set from the table records directly instead of re-running the
     context-building mention map for it."""
@@ -483,31 +578,30 @@ def link_mentions(mentions_ds, index_dir: str,
               refine_factor=cfg.refine_attrs_factor)
     distinct = (distinct_ds if distinct_ds is not None
                 else distinct_mentions(mentions_ds)).materialize()
-    if distinct.count() <= cfg.link_broadcast_limit:
-        resolved = distinct.map_batches(resolve_mentions_batch, fn_kwargs=kw,
-                                        batch_format="pyarrow")
-        parts = [t if isinstance(t, pa.Table)
-                 else pa.Table.from_pandas(t, schema=RESOLVED_SCHEMA,
-                                           preserve_index=False)
-                 for t in ray.get(resolved.to_arrow_refs()) if len(t)]
-        tbl = pa.concat_tables(parts) if parts else pa.Table.from_pydict(
-            {c: [] for c in RESOLVED_SCHEMA.names}, schema=RESOLVED_SCHEMA)
-        if tbl.num_rows:
-            # belt-and-braces: the broadcast must hold each mention ONCE —
-            # any upstream duplication multiplies every worker's state-build
-            # cost and the broadcast payload (resolution is deterministic
-            # per mention, so first-wins is safe)
-            codes, _ = pd.factorize(
-                np.asarray(tbl.column("mention").to_pylist(), dtype=object))
-            first = np.unique(codes, return_index=True)[1]
-            if len(first) < tbl.num_rows:
-                tbl = tbl.take(pa.array(np.sort(first)))
-        ref = ray.put(tbl)
-    else:
-        # broadcast would not fit comfortably in every worker's heap; the
-        # merge tasks resolve per worker (bounded caches) instead
-        ref = pa.Table.from_pydict({c: [] for c in RESOLVED_SCHEMA.names},
-                                   schema=RESOLVED_SCHEMA)
+    resolved = distinct.map_batches(resolve_mentions_batch, fn_kwargs=kw,
+                                    batch_format="pyarrow")
+    if distinct.count() > cfg.link_broadcast_limit:
+        n_buckets = max(32,
+                        int(ray.cluster_resources().get("CPU", 4)) * 2)
+        return _link_merge_join(mentions_ds, resolved, kw, n_buckets)
+
+    parts = [t if isinstance(t, pa.Table)
+             else pa.Table.from_pandas(t, schema=RESOLVED_SCHEMA,
+                                       preserve_index=False)
+             for t in ray.get(resolved.to_arrow_refs()) if len(t)]
+    tbl = pa.concat_tables(parts) if parts else pa.Table.from_pydict(
+        {c: [] for c in RESOLVED_SCHEMA.names}, schema=RESOLVED_SCHEMA)
+    if tbl.num_rows:
+        # belt-and-braces: the broadcast must hold each mention ONCE —
+        # any upstream duplication multiplies every worker's state-build
+        # cost and the broadcast payload (resolution is deterministic
+        # per mention, so first-wins is safe)
+        codes, _ = pd.factorize(
+            np.asarray(tbl.column("mention").to_pylist(), dtype=object))
+        first = np.unique(codes, return_index=True)[1]
+        if len(first) < tbl.num_rows:
+            tbl = tbl.take(pa.array(np.sort(first)))
+    ref = ray.put(tbl)
     # batch_size MUST stay None: a row-count target makes Ray bundle input
     # blocks up to that many rows per task, and when this map fuses with the
     # lazy upstream mention map the bundling counts TABLE-record rows — at
