@@ -1034,7 +1034,10 @@ def q_kg_refine_link(sf_dir: str):
     IndexManager.findRefineAttrsMatches :677-746): an ambiguous gazetteer
     (twin entities sharing a label, differing sibling attributes) is linked
     from mentions that carry row context — the context term decides the twin.
-    Rows-only oracle; tests pin accuracy 1.0 with context."""
+    SQL-oracled: DuckDB recomputes the whole linking decision (exact+fuzzy
+    candidate scan, TF-IDF/Jaccard blend, margin gate, context bonus,
+    top-1) from the persisted index structures (``_persist_refine_oracle``);
+    tests pin accuracy 1.0 with context."""
     import os as _os
 
     import ray.data as rd
@@ -1081,6 +1084,10 @@ def q_kg_refine_link(sf_dir: str):
         "context": pa.array([CONTEXT_SEP.join(c) for c in rows["context"]],
                             pa.string()),
     })
+    _persist_refine_oracle(index_dir, {
+        "row_idx": rows["row_idx"], "mention": rows["mention"],
+        "expected_uri": rows["expected_uri"],
+        "context": [CONTEXT_SEP.join(c) for c in rows["context"]]})
     from ..config import PipelineConfig
 
     cfg = PipelineConfig(linker_concurrency=1)
@@ -1662,6 +1669,140 @@ def _persist_ig_oracle(sf_dir: str) -> None:
     with open(marker + ".tmp", "w") as fh:
         fh.write(key)
     os.replace(marker + ".tmp", marker)
+
+
+def _persist_refine_oracle(index_dir: str, mentions: dict) -> None:
+    """Refine-link oracle inputs: the label index's own structures (entries
+    with stored ntok + distinct name/attr token sets, postings WITH their
+    idf — index data, persisted rather than recomputed so log1p rounding
+    can't drift) and the fixture's mention/context tokenization (the
+    Python tokenizer is pinned by goldens).  DuckDB then independently
+    recomputes the ENTIRE linking decision: exact + fuzzy (levenshtein)
+    candidate scan, the TF-IDF/Jaccard blend with the exact-match bonus,
+    the top-two margin gate, the refine-attrs context bonus, and the
+    (score desc, uri asc) top-1 — i.e. findJoinsForColumnFast +
+    assessIndexEntry end-to-end.  The fixture is deterministic and
+    sf-independent, so one green match holds for every run."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from ..functions.normalize import tokenize_string
+    from ..state.index import LabelIndex
+    from ..stages.link import CONTEXT_SEP
+
+    os.makedirs(_KG_ORACLE_BASE, exist_ok=True)
+    out_dir = os.path.join(_KG_ORACLE_BASE, "refine")
+    # tiny (fixture-sized) — always rebuilt, so it can never go stale
+    # against a regenerated index
+    idx = LabelIndex(index_dir)
+    tmp = out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+
+    n = len(idx.entries_uri)
+    _pq.write_table(pa.table({
+        "eid": pa.array(range(n), pa.int64()),
+        "uri": pa.array(idx.entries_uri, pa.string()),
+        "norm": pa.array(idx.entries_norm, pa.string()),
+        "ntok": pa.array([int(x) for x in idx.entries_ntok], pa.int64()),
+        "n_name_toks": pa.array([len(set(nm.split()))
+                                 for nm in idx.entries_norm], pa.int64()),
+        "has_attrs": pa.array([bool(a) for a in idx.entries_attrs],
+                              pa.bool_()),
+    }), os.path.join(tmp, "entries.parquet"))
+
+    nt_e, nt_t = [], []
+    for eid, nm in enumerate(idx.entries_norm):
+        for t in set(nm.split()):
+            nt_e.append(eid)
+            nt_t.append(t)
+    _pq.write_table(pa.table({"eid": pa.array(nt_e, pa.int64()),
+                              "token": pa.array(nt_t, pa.string())}),
+                    os.path.join(tmp, "entry_name_tokens.parquet"))
+
+    at_e, at_a, at_t, at_n = [], [], [], []
+    for eid, attrs in enumerate(idx.entries_attrs):
+        for ai, toks in enumerate(attrs):
+            for t in toks:
+                at_e.append(eid)
+                at_a.append(ai)
+                at_t.append(t)
+                at_n.append(len(toks))
+    _pq.write_table(pa.table({
+        "eid": pa.array(at_e, pa.int64()),
+        "attr_idx": pa.array(at_a, pa.int64()),
+        "token": pa.array(at_t, pa.string()),
+        "n_attr_toks": pa.array(at_n, pa.int64())}),
+        os.path.join(tmp, "entry_attr_tokens.parquet"))
+
+    p_t, p_e, p_w = [], [], []
+    for tok, eids in idx.postings.items():
+        for e in eids:
+            p_t.append(tok)
+            p_e.append(int(e))
+            p_w.append(idx.idf[tok])
+    _pq.write_table(pa.table({"token": pa.array(p_t, pa.string()),
+                              "eid": pa.array(p_e, pa.int64()),
+                              "idf": pa.array(p_w, pa.float64())}),
+                    os.path.join(tmp, "postings.parquet"))
+    vocab = sorted(idx.postings)
+    _pq.write_table(pa.table({
+        "token": pa.array(vocab, pa.string()),
+        "idf": pa.array([idx.idf[t] for t in vocab], pa.float64())}),
+        os.path.join(tmp, "vocab.parquet"))
+
+    mm_m, mm_norm, mm_ntok = [], [], []
+    mt_m, mt_t = [], []
+    for m in sorted(set(mentions["mention"])):
+        toks = tokenize_string(m, remove_brackets=True)
+        mm_m.append(m)
+        mm_norm.append(" ".join(toks))
+        mm_ntok.append(len(set(toks)))
+        for t in set(toks):
+            mt_m.append(m)
+            mt_t.append(t)
+    _pq.write_table(pa.table({"mention": pa.array(mm_m, pa.string()),
+                              "norm": pa.array(mm_norm, pa.string()),
+                              "ntok": pa.array(mm_ntok, pa.int64())}),
+                    os.path.join(tmp, "mentions_meta.parquet"))
+    _pq.write_table(pa.table({"mention": pa.array(mt_m, pa.string()),
+                              "token": pa.array(mt_t, pa.string())}),
+                    os.path.join(tmp, "mention_tokens.parquet"))
+
+    r_r, r_m, r_x, r_nc = [], [], [], []
+    ct_r, ct_c, ct_t, ct_n = [], [], [], []
+    for ri, m, exp, ctx in zip(mentions["row_idx"], mentions["mention"],
+                               mentions["expected_uri"],
+                               mentions["context"]):
+        cells = [c for c in ctx.split(CONTEXT_SEP)
+                 if c and c != "null"] if ctx else []
+        r_r.append(ri)
+        r_m.append(m)
+        r_x.append(exp)
+        r_nc.append(len(cells))
+        for ci, c in enumerate(cells):
+            ctoks = set(tokenize_string(c, remove_brackets=True))
+            for t in ctoks:
+                ct_r.append(ri)
+                ct_c.append(ci)
+                ct_t.append(t)
+                ct_n.append(len(ctoks))
+    _pq.write_table(pa.table({
+        "row_idx": pa.array(r_r, pa.int64()),
+        "mention": pa.array(r_m, pa.string()),
+        "expected_uri": pa.array(r_x, pa.string()),
+        "n_cells": pa.array(r_nc, pa.int64())}),
+        os.path.join(tmp, "rows.parquet"))
+    _pq.write_table(pa.table({
+        "row_idx": pa.array(ct_r, pa.int64()),
+        "cell_idx": pa.array(ct_c, pa.int64()),
+        "token": pa.array(ct_t, pa.string()),
+        "n_cell_toks": pa.array(ct_n, pa.int64())}),
+        os.path.join(tmp, "row_cell_tokens.parquet"))
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp, out_dir)
 
 
 def _persist_dedup_raw(sf_dir: str) -> None:
@@ -2528,6 +2669,110 @@ def _ig_oracle_sql(iters: int = 15, alpha: float = 0.15,
 
 
 ORACLE_SQL["kg_infogather_augment"] = _ig_oracle_sql()
+
+
+def _refine_oracle_sql(factor: float = 0.3) -> str:
+    """The refine-link oracle: DuckDB recomputes the entire linking
+    decision from the persisted index structures (_persist_refine_oracle)
+    — exact + fuzzy (levenshtein, first-char/len±1 buckets, half idf)
+    candidate scan, TF-IDF/Jaccard blend + exact-match bonus, the top-two
+    margin gate, the refine-attrs context bonus (best per-cell Jaccard
+    ≥ 0.5 against the entity's attribute token sets), and the
+    (score desc, uri asc) top-1 per mention row.  Scores round to 9
+    decimals before ranking: mathematically-tied twins must fall to the
+    uri tie-break in both systems regardless of summation order."""
+    b = _KG_ORACLE_BASE + "/refine"
+    return f"""
+    WITH mt AS MATERIALIZED (
+        SELECT * FROM read_parquet('{b}/mention_tokens.parquet')),
+    post AS MATERIALIZED (
+        SELECT * FROM read_parquet('{b}/postings.parquet')),
+    vocab AS MATERIALIZED (
+        SELECT * FROM read_parquet('{b}/vocab.parquet')),
+    acc AS MATERIALIZED (
+        SELECT mention, eid, SUM(w) AS s FROM (
+            SELECT mt.mention, p.eid, p.idf AS w
+            FROM mt JOIN post p USING (token)
+            UNION ALL
+            SELECT mt.mention, p.eid, v.idf * 0.5 AS w
+            FROM mt
+            JOIN vocab v
+              ON substr(v.token, 1, 1) = substr(mt.token, 1, 1)
+             AND abs(length(v.token) - length(mt.token)) <= 1
+             AND v.token <> mt.token
+             AND levenshtein(v.token, mt.token) <= 1
+            JOIN post p ON p.token = v.token
+            WHERE NOT EXISTS (SELECT 1 FROM vocab x
+                              WHERE x.token = mt.token)
+        ) GROUP BY mention, eid),
+    inter AS MATERIALIZED (
+        SELECT mt.mention, ent.eid, COUNT(*) AS i
+        FROM mt JOIN read_parquet('{b}/entry_name_tokens.parquet') ent
+          USING (token)
+        GROUP BY mt.mention, ent.eid),
+    base AS MATERIALIZED (
+        SELECT a.mention, a.eid, e.uri,
+               0.5 * a.s
+                   / GREATEST(1e-9,
+                              CAST(GREATEST(mm.ntok, e.ntok) AS DOUBLE))
+               + 0.5 * CAST(COALESCE(i.i, 0) AS DOUBLE)
+                   / CAST(mm.ntok + e.n_name_toks
+                          - COALESCE(i.i, 0) AS DOUBLE)
+               + CASE WHEN e.norm = mm.norm THEN 10.0 ELSE 0.0 END AS score
+        FROM acc a
+        JOIN read_parquet('{b}/mentions_meta.parquet') mm USING (mention)
+        JOIN read_parquet('{b}/entries.parquet') e USING (eid)
+        LEFT JOIN inter i ON i.mention = a.mention AND i.eid = a.eid),
+    gaps AS MATERIALIZED (
+        SELECT mention,
+               MAX(CASE WHEN rn = 1 THEN score END)
+               - MAX(CASE WHEN rn = 2 THEN score END) AS gap
+        FROM (SELECT mention, score,
+                     row_number() OVER (PARTITION BY mention
+                                        ORDER BY score DESC) AS rn
+              FROM base)
+        GROUP BY mention),
+    anyattrs AS MATERIALIZED (
+        SELECT b.mention, BOOL_OR(e.has_attrs) AS ha
+        FROM base b JOIN read_parquet('{b}/entries.parquet') e USING (eid)
+        GROUP BY b.mention),
+    cellbest AS MATERIALIZED (
+        SELECT row_idx, cell_idx, eid, MAX(j) AS best
+        FROM (SELECT ct.row_idx, ct.cell_idx, at.eid, at.attr_idx,
+                     CAST(COUNT(*) AS DOUBLE)
+                     / CAST(ANY_VALUE(ct.n_cell_toks)
+                            + ANY_VALUE(at.n_attr_toks)
+                            - COUNT(*) AS DOUBLE) AS j
+              FROM read_parquet('{b}/row_cell_tokens.parquet') ct
+              JOIN read_parquet('{b}/entry_attr_tokens.parquet') at
+                USING (token)
+              GROUP BY ct.row_idx, ct.cell_idx, at.eid, at.attr_idx)
+        GROUP BY row_idx, cell_idx, eid),
+    bonus AS MATERIALIZED (
+        SELECT row_idx, eid, SUM(best) AS bsum
+        FROM cellbest WHERE best >= 0.5 GROUP BY row_idx, eid),
+    final AS MATERIALIZED (
+        SELECT r.row_idx, r.mention, r.expected_uri, bs.uri,
+               bs.score + CASE WHEN r.n_cells > 0 AND a.ha
+                                AND g.gap IS NOT NULL
+                                AND g.gap <= {factor} * r.n_cells
+                          THEN {factor} * COALESCE(bo.bsum, 0.0)
+                          ELSE 0.0 END AS score
+        FROM read_parquet('{b}/rows.parquet') r
+        JOIN base bs ON bs.mention = r.mention
+        JOIN gaps g ON g.mention = r.mention
+        JOIN anyattrs a ON a.mention = r.mention
+        LEFT JOIN bonus bo ON bo.row_idx = r.row_idx AND bo.eid = bs.eid)
+    SELECT row_idx, mention, expected_uri, uri AS entity_uri,
+           uri = expected_uri AS correct
+    FROM final
+    QUALIFY row_number() OVER (PARTITION BY row_idx
+                               ORDER BY round(score, 9) DESC, uri) = 1
+    ORDER BY row_idx
+    """
+
+
+ORACLE_SQL["kg_refine_link"] = _refine_oracle_sql()
 
 QUERIES: dict = {
     "pricing_summary": q_pricing_summary,
