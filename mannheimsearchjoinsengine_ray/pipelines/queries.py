@@ -1124,7 +1124,9 @@ def q_kg_link_quality(sf_dir: str):
     """Self-evaluating linking: the full mention→link flow scored against
     the SPEC-derived golden links (SearchTableResultAnalyzer analog,
     stages/evaluate.py).  One row: precision/recall/coverage + counts.
-    Rows-only oracle; the values themselves are the quality gate."""
+    SQL-oracled: DuckDB recomputes EVERY linking decision over the corpus
+    from the persisted index structures (the shared ``_link_decision_ctes``
+    machinery) and reduces to the same outer-join P/R arithmetic."""
     import os as _os
 
     import ray.data as rd
@@ -1165,6 +1167,21 @@ def q_kg_link_quality(sf_dir: str):
         gold_rows.extend(golden_links_for_page(make_page_spec(pid)))
     gold = pd.DataFrame(gold_rows, columns=["url", "table_idx", "row_idx",
                                             "mention", "entity_uri"])
+    # oracle inputs: the corpus mention rows + gold links (cached by corpus)
+    mdf = mentions.to_pandas()
+    _persist_refine_oracle(index_dir, {
+        "url": mdf["url"].tolist(),
+        "table_idx": mdf["table_idx"].tolist(),
+        "row_idx": mdf["row_idx"].tolist(),
+        "mention": mdf["mention"].tolist(),
+        "context": mdf["context"].tolist()},
+        subdir="linkq", cache_key=f"{corpus}|{index_dir}")
+    import pyarrow.parquet as _pq
+
+    _pq.write_table(pa.Table.from_pandas(
+        gold[["url", "table_idx", "row_idx", "entity_uri"]],
+        preserve_index=False),
+        _os.path.join(_KG_ORACLE_BASE, "linkq", "gold.parquet"))
     r = evaluate_links(got[["url", "table_idx", "row_idx", "entity_uri"]],
                        gold[["url", "table_idx", "row_idx", "entity_uri"]])
     return pd.DataFrame([{
@@ -1671,7 +1688,9 @@ def _persist_ig_oracle(sf_dir: str) -> None:
     os.replace(marker + ".tmp", marker)
 
 
-def _persist_refine_oracle(index_dir: str, mentions: dict) -> None:
+def _persist_refine_oracle(index_dir: str, mentions: dict,
+                           subdir: str = "refine",
+                           cache_key: str | None = None) -> None:
     """Refine-link oracle inputs: the label index's own structures (entries
     with stored ntok + distinct name/attr token sets, postings WITH their
     idf — index data, persisted rather than recomputed so log1p rounding
@@ -1693,9 +1712,15 @@ def _persist_refine_oracle(index_dir: str, mentions: dict) -> None:
     from ..stages.link import CONTEXT_SEP
 
     os.makedirs(_KG_ORACLE_BASE, exist_ok=True)
-    out_dir = os.path.join(_KG_ORACLE_BASE, "refine")
-    # tiny (fixture-sized) — always rebuilt, so it can never go stale
-    # against a regenerated index
+    out_dir = os.path.join(_KG_ORACLE_BASE, subdir)
+    marker = out_dir + ".key"
+    if cache_key is not None and os.path.isdir(out_dir) \
+            and os.path.exists(marker):
+        with open(marker) as fh:
+            if fh.read() == cache_key:
+                return
+    # fixture-sized inputs rebuild unconditionally (cache_key=None), so
+    # they can never go stale against a regenerated index
     idx = LabelIndex(index_dir)
     tmp = out_dir + ".tmp"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -1771,13 +1796,19 @@ def _persist_refine_oracle(index_dir: str, mentions: dict) -> None:
                               "token": pa.array(mt_t, pa.string())}),
                     os.path.join(tmp, "mention_tokens.parquet"))
 
-    r_r, r_m, r_x, r_nc = [], [], [], []
-    ct_r, ct_c, ct_t, ct_n = [], [], [], []
-    for ri, m, exp, ctx in zip(mentions["row_idx"], mentions["mention"],
-                               mentions["expected_uri"],
-                               mentions["context"]):
+    n_rows = len(mentions["row_idx"])
+    urls = mentions.get("url", ["fixture"] * n_rows)
+    tids = mentions.get("table_idx", [0] * n_rows)
+    exps = mentions.get("expected_uri", [""] * n_rows)
+    r_u, r_ti, r_r, r_m, r_x, r_nc = [], [], [], [], [], []
+    ct_u, ct_ti, ct_r, ct_c, ct_t, ct_n = [], [], [], [], [], []
+    for u, ti, ri, m, exp, ctx in zip(urls, tids, mentions["row_idx"],
+                                      mentions["mention"], exps,
+                                      mentions["context"]):
         cells = [c for c in ctx.split(CONTEXT_SEP)
                  if c and c != "null"] if ctx else []
+        r_u.append(u)
+        r_ti.append(ti)
         r_r.append(ri)
         r_m.append(m)
         r_x.append(exp)
@@ -1785,17 +1816,23 @@ def _persist_refine_oracle(index_dir: str, mentions: dict) -> None:
         for ci, c in enumerate(cells):
             ctoks = set(tokenize_string(c, remove_brackets=True))
             for t in ctoks:
+                ct_u.append(u)
+                ct_ti.append(ti)
                 ct_r.append(ri)
                 ct_c.append(ci)
                 ct_t.append(t)
                 ct_n.append(len(ctoks))
     _pq.write_table(pa.table({
+        "url": pa.array(r_u, pa.string()),
+        "table_idx": pa.array(r_ti, pa.int64()),
         "row_idx": pa.array(r_r, pa.int64()),
         "mention": pa.array(r_m, pa.string()),
         "expected_uri": pa.array(r_x, pa.string()),
         "n_cells": pa.array(r_nc, pa.int64())}),
         os.path.join(tmp, "rows.parquet"))
     _pq.write_table(pa.table({
+        "url": pa.array(ct_u, pa.string()),
+        "table_idx": pa.array(ct_ti, pa.int64()),
         "row_idx": pa.array(ct_r, pa.int64()),
         "cell_idx": pa.array(ct_c, pa.int64()),
         "token": pa.array(ct_t, pa.string()),
@@ -1803,6 +1840,10 @@ def _persist_refine_oracle(index_dir: str, mentions: dict) -> None:
         os.path.join(tmp, "row_cell_tokens.parquet"))
     shutil.rmtree(out_dir, ignore_errors=True)
     os.replace(tmp, out_dir)
+    if cache_key is not None:
+        with open(marker + ".tmp", "w") as fh:
+            fh.write(cache_key)
+        os.replace(marker + ".tmp", marker)
 
 
 def _persist_dedup_raw(sf_dir: str) -> None:
@@ -2671,17 +2712,18 @@ def _ig_oracle_sql(iters: int = 15, alpha: float = 0.15,
 ORACLE_SQL["kg_infogather_augment"] = _ig_oracle_sql()
 
 
-def _refine_oracle_sql(factor: float = 0.3) -> str:
-    """The refine-link oracle: DuckDB recomputes the entire linking
-    decision from the persisted index structures (_persist_refine_oracle)
-    — exact + fuzzy (levenshtein, first-char/len±1 buckets, half idf)
-    candidate scan, TF-IDF/Jaccard blend + exact-match bonus, the top-two
-    margin gate, the refine-attrs context bonus (best per-cell Jaccard
-    ≥ 0.5 against the entity's attribute token sets), and the
-    (score desc, uri asc) top-1 per mention row.  Scores round to 9
-    decimals before ranking: mathematically-tied twins must fall to the
-    uri tie-break in both systems regardless of summation order."""
-    b = _KG_ORACLE_BASE + "/refine"
+def _link_decision_ctes(subdir: str, factor: float = 0.3) -> str:
+    """Shared WITH-body recomputing the linking decision per mention row
+    from the persisted index structures (_persist_refine_oracle): exact +
+    fuzzy (levenshtein, first-char/len±1 buckets, half idf) candidate
+    scan, TF-IDF/Jaccard blend + exact-match bonus, the top-two margin
+    gate, the refine-attrs context bonus (best per-cell Jaccard ≥ 0.5
+    against the entity's attribute token sets), ending at ``final``
+    (url, table_idx, row_idx, mention, expected_uri, uri, score).
+    Scores round to 9 decimals before any ranking: mathematically-tied
+    twin entities must fall to the uri tie-break in both systems
+    regardless of summation order."""
+    b = _KG_ORACLE_BASE + "/" + subdir
     return f"""
     WITH mt AS MATERIALIZED (
         SELECT * FROM read_parquet('{b}/mention_tokens.parquet')),
@@ -2737,8 +2779,9 @@ def _refine_oracle_sql(factor: float = 0.3) -> str:
         FROM base b JOIN read_parquet('{b}/entries.parquet') e USING (eid)
         GROUP BY b.mention),
     cellbest AS MATERIALIZED (
-        SELECT row_idx, cell_idx, eid, MAX(j) AS best
-        FROM (SELECT ct.row_idx, ct.cell_idx, at.eid, at.attr_idx,
+        SELECT url, table_idx, row_idx, cell_idx, eid, MAX(j) AS best
+        FROM (SELECT ct.url, ct.table_idx, ct.row_idx, ct.cell_idx,
+                     at.eid, at.attr_idx,
                      CAST(COUNT(*) AS DOUBLE)
                      / CAST(ANY_VALUE(ct.n_cell_toks)
                             + ANY_VALUE(at.n_attr_toks)
@@ -2746,13 +2789,16 @@ def _refine_oracle_sql(factor: float = 0.3) -> str:
               FROM read_parquet('{b}/row_cell_tokens.parquet') ct
               JOIN read_parquet('{b}/entry_attr_tokens.parquet') at
                 USING (token)
-              GROUP BY ct.row_idx, ct.cell_idx, at.eid, at.attr_idx)
-        GROUP BY row_idx, cell_idx, eid),
+              GROUP BY ct.url, ct.table_idx, ct.row_idx, ct.cell_idx,
+                       at.eid, at.attr_idx)
+        GROUP BY url, table_idx, row_idx, cell_idx, eid),
     bonus AS MATERIALIZED (
-        SELECT row_idx, eid, SUM(best) AS bsum
-        FROM cellbest WHERE best >= 0.5 GROUP BY row_idx, eid),
+        SELECT url, table_idx, row_idx, eid, SUM(best) AS bsum
+        FROM cellbest WHERE best >= 0.5
+        GROUP BY url, table_idx, row_idx, eid),
     final AS MATERIALIZED (
-        SELECT r.row_idx, r.mention, r.expected_uri, bs.uri,
+        SELECT r.url, r.table_idx, r.row_idx, r.mention, r.expected_uri,
+               bs.uri, bs.eid,
                bs.score + CASE WHEN r.n_cells > 0 AND a.ha
                                 AND g.gap IS NOT NULL
                                 AND g.gap <= {factor} * r.n_cells
@@ -2762,17 +2808,57 @@ def _refine_oracle_sql(factor: float = 0.3) -> str:
         JOIN base bs ON bs.mention = r.mention
         JOIN gaps g ON g.mention = r.mention
         JOIN anyattrs a ON a.mention = r.mention
-        LEFT JOIN bonus bo ON bo.row_idx = r.row_idx AND bo.eid = bs.eid)
+        LEFT JOIN bonus bo ON bo.url = r.url AND bo.table_idx = r.table_idx
+                          AND bo.row_idx = r.row_idx AND bo.eid = bs.eid)"""
+
+
+def _refine_oracle_sql() -> str:
+    return _link_decision_ctes("refine") + """
     SELECT row_idx, mention, expected_uri, uri AS entity_uri,
            uri = expected_uri AS correct
     FROM final
-    QUALIFY row_number() OVER (PARTITION BY row_idx
+    QUALIFY row_number() OVER (PARTITION BY url, table_idx, row_idx
                                ORDER BY round(score, 9) DESC, uri) = 1
     ORDER BY row_idx
     """
 
 
+def _link_quality_oracle_sql() -> str:
+    """kg_link_quality: the same recomputed linking decision, reduced to
+    the outer-join precision/recall/coverage arithmetic against the
+    persisted golden links (evaluate_links semantics)."""
+    b = _KG_ORACLE_BASE + "/linkq"
+    return _link_decision_ctes("linkq") + f""",
+    got AS MATERIALIZED (
+        SELECT url, table_idx, row_idx, uri FROM final
+        QUALIFY row_number() OVER (PARTITION BY url, table_idx, row_idx
+                                   ORDER BY round(score, 9) DESC, uri) = 1),
+    gold AS MATERIALIZED (
+        SELECT * FROM read_parquet('{b}/gold.parquet')),
+    joined AS MATERIALIZED (
+        SELECT g.entity_uri AS gold_uri, t.uri AS got_uri,
+               g.url IS NOT NULL AS in_gold, t.url IS NOT NULL AS in_got
+        FROM gold g
+        FULL OUTER JOIN got t
+          ON g.url = t.url AND g.table_idx = t.table_idx
+         AND g.row_idx = t.row_idx)
+    SELECT round(CAST(n_correct AS DOUBLE) / GREATEST(n_got, 1), 6)
+               AS precision,
+           round(CAST(n_correct AS DOUBLE) / GREATEST(n_gold, 1), 6)
+               AS recall,
+           round(CAST(n_got AS DOUBLE) / GREATEST(n_gold, 1), 6)
+               AS coverage,
+           n_got, n_gold, n_correct
+    FROM (SELECT COUNT(*) FILTER (in_got) AS n_got,
+                 COUNT(*) FILTER (in_gold) AS n_gold,
+                 COUNT(*) FILTER (in_got AND in_gold
+                                  AND gold_uri = got_uri) AS n_correct
+          FROM joined)
+    """
+
+
 ORACLE_SQL["kg_refine_link"] = _refine_oracle_sql()
+ORACLE_SQL["kg_link_quality"] = _link_quality_oracle_sql()
 
 QUERIES: dict = {
     "pricing_summary": q_pricing_summary,
