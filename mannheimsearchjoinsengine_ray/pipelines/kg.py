@@ -20,7 +20,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from functools import partial
 
 import pyarrow as pa
 
@@ -80,19 +79,90 @@ def extract_text_ds(pages_path: str):
 def materialize_triples(triples, out_dir: str,
                         num_partitions: int = 16,
                         fingerprint: str = "") -> list[dict]:
-    """Shuffle triples into hash(subj) partitions, sort each, write atomically
-    with manifests.  Returns the manifest dicts."""
-    part_fn = partial(mat.add_partition_column, num_partitions=num_partitions)
-    with_part = triples.map_batches(part_fn, batch_format="pyarrow")
+    """Write triples into hash(subj) partitions, sorted, atomic, manifested.
 
-    def write_group(group: pa.Table) -> pa.Table:
-        part = int(group.column("part")[0].as_py())
-        manifest = mat.write_partition(group, out_dir, part, fingerprint)
-        return pa.table({"partition": [manifest["partition"]],
-                         "rows": [manifest["rows"]]})
+    Two-stage DISK exchange instead of Ray's sort shuffle (which cost 7.1 s
+    for 3.4M rows / 511 MB at sf0.1 vs ~2 s for this path, BASELINE.md #26):
 
-    result = with_part.groupby("part").map_groups(write_group, batch_format="pyarrow")
-    stats = result.take_all()
+      stage A (fuses with the upstream triplify map — no materialization of
+      the triple set): each task splits its block by part = hash64(subj) %
+      num_partitions and appends one run file per partition under
+      ``out_dir/_runs/part=P/``;
+      stage B: one task per non-empty partition merges its runs and commits
+      via :func:`materialize.write_partition` (sort + atomic rename +
+      manifest).
+
+    On a multi-node cluster the runs directory lives on shared storage — the
+    exchange is the external-shuffle layout (map-side spill, reduce-side
+    merge), so a lost node re-runs only its map tasks and the merge fan-in
+    per partition is bounded by the shard's block count, not the corpus.
+    """
+    import shutil as _shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    runs_dir = os.path.join(out_dir, "_runs")
+    _shutil.rmtree(runs_dir, ignore_errors=True)
+    os.makedirs(runs_dir, exist_ok=True)
+
+    def split_write(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ..functions.hashing import hash64
+
+        if batch.num_rows == 0:
+            return pa.table({"partition": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64())})
+        part = (hash64(batch.column("subj").to_numpy(zero_copy_only=False))
+                % num_partitions).astype("int64")
+        order = np.argsort(part, kind="stable")
+        sorted_tbl = batch.take(pa.array(order))
+        sorted_part = part[order]
+        bounds = np.flatnonzero(np.diff(sorted_part)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(sorted_part)]))
+        run_id = uuid.uuid4().hex
+        parts_out, rows_out = [], []
+        for s, e in zip(starts, ends):
+            p = int(sorted_part[s])
+            pdir = os.path.join(runs_dir, f"part={p:05d}")
+            os.makedirs(pdir, exist_ok=True)
+            tmp = os.path.join(pdir, f"run-{run_id}.parquet.tmp")
+            pq.write_table(sorted_tbl.slice(s, e - s), tmp)
+            os.replace(tmp, os.path.join(pdir, f"run-{run_id}.parquet"))
+            parts_out.append(p)
+            rows_out.append(int(e - s))
+        return pa.table({"partition": pa.array(parts_out, pa.int64()),
+                         "rows": pa.array(rows_out, pa.int64())})
+
+    # batch_size=None: one split task per upstream block (CLAUDE.md rule)
+    counts = triples.map_batches(split_write, batch_format="pyarrow",
+                                 batch_size=None).take_all()
+    live_parts = sorted({int(c["partition"]) for c in counts})
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        parts_out, rows_out = [], []
+        for p in batch.column("p").to_pylist():
+            pdir = os.path.join(runs_dir, f"part={p:05d}")
+            files = sorted(os.path.join(pdir, f) for f in os.listdir(pdir)
+                           if f.endswith(".parquet"))
+            table = pa.concat_tables([pq.read_table(f) for f in files])
+            manifest = mat.write_partition(table, out_dir, p, fingerprint)
+            parts_out.append(manifest["partition"])
+            rows_out.append(manifest["rows"])
+        return pa.table({"partition": pa.array(parts_out, pa.int64()),
+                         "rows": pa.array(rows_out, pa.int64())})
+
+    stats: list[dict] = []
+    if live_parts:
+        parts_ds = rd.from_arrow(pa.table({"p": pa.array(live_parts, pa.int64())}))
+        parts_ds = parts_ds.repartition(len(live_parts))
+        stats = parts_ds.map_batches(finalize, batch_format="pyarrow",
+                                     batch_size=None).take_all()
+    _shutil.rmtree(runs_dir, ignore_errors=True)
     return stats
 
 
