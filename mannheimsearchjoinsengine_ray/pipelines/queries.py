@@ -59,11 +59,19 @@ def q_pricing_summary(sf_dir: str):
     return _round_df(out.to_pandas(), {"sum_qty": 2, "sum_price": 2, "avg_qty": 4})
 
 
-def q_revenue_by_nation(sf_dir: str):
+# broadcast the customer→nation lookup only below this row count; customer
+# scales LINEARLY with the fact tables (TPC-H sf100 ≈ 15M rows), so above
+# the guard the dimension chain runs as co-partitioned bucket joins
+CUSTOMER_BROADCAST_LIMIT = 4_000_000
+
+
+def q_revenue_by_nation(sf_dir: str,
+                        broadcast_limit: int = CUSTOMER_BROADCAST_LIMIT):
     """The central multi-join aggregate: lineitem ⋈ orders (large-large hash
-    join) ⋈ customer ⋈ nation (broadcast small sides).  Scale: one shuffle
-    join on orderkey; customer/nation ship once via ray.put-backed pandas
-    merge inside map_batches."""
+    join) ⋈ customer ⋈ nation.  Scale: one shuffle join on orderkey;
+    customer⋈nation ships once via ray.put ONLY under the explicit guard —
+    above it, a second co-partitioned bucket join on custkey (both paths
+    hash-equal, exercised in tests)."""
     import ray
 
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -75,25 +83,41 @@ def q_revenue_by_nation(sf_dir: str):
         }),
         batch_format="pyarrow")
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    from ..stages.aggregates import two_phase_agg
     from ..stages.joins import bucket_join
 
     joined = bucket_join(li, orders, left_on="l_orderkey",
                          right_on="o_orderkey")
 
-    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    cust = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["n_name"])))
+    cust_ds = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    if cust_ds.count() <= broadcast_limit:
+        cust = cust_ds.to_pandas() \
+            .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+        lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["n_name"])))
 
-    def attach_nation(df: pd.DataFrame) -> pd.DataFrame:
-        lookup = ray.get(lookup_ref)
-        df["n_name"] = df["o_custkey"].map(lookup)
-        return df[["n_name", "revenue"]]
+        def attach_nation(df: pd.DataFrame) -> pd.DataFrame:
+            lookup = ray.get(lookup_ref)
+            df["n_name"] = df["o_custkey"].map(lookup)
+            return df[["n_name", "revenue"]]
 
-    from ..stages.aggregates import two_phase_agg
+        tagged = joined.map_batches(attach_nation, batch_format="pandas")
+    else:
+        # nation (25 rows) stays a broadcast merge; customer goes through a
+        # co-partitioned join keyed on custkey
+        nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+        cust_named = cust_ds.map_batches(
+            lambda df: pd.DataFrame({
+                "c_custkey": df["c_custkey"],
+                "n_name": df["c_nationkey"].map(ray.get(nation_ref))}),
+            batch_format="pandas")
+        tagged = bucket_join(joined.map_batches(
+            lambda df: df[["o_custkey", "revenue"]], batch_format="pandas"),
+            cust_named, left_on="o_custkey", right_on="c_custkey") \
+            .map_batches(lambda df: df[["n_name", "revenue"]],
+                         batch_format="pandas")
 
-    out = two_phase_agg(joined.map_batches(attach_nation, batch_format="pandas"),
-                        ["n_name"], {"revenue": ("revenue", "sum")})
+    out = two_phase_agg(tagged, ["n_name"], {"revenue": ("revenue", "sum")})
     return _round_df(out.to_pandas(), {"revenue": 2})
 
 
@@ -851,14 +875,16 @@ def q_minhash_dedup(sf_dir: str):
     (as in ``minhash_pairs``) and labels components with a recursive
     min-label propagation CTE — banding, candidate generation, Jaccard
     verify and connected components all recomputed relationally."""
-    from ..stages.dedup import assign_components, minhash_dedup_pairs
+    from ..stages.dedup import assign_components_ds, minhash_dedup_pairs
 
     _persist_dedup_raw(sf_dir)
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     pairs = minhash_dedup_pairs(docs, min_jaccard=0.5)
-    all_ids = docs.unique("doc_id")
-    out = assign_components(pairs, all_ids=all_ids)
-    return out.astype({"id": "int64", "component": "int64"})
+    # Dataset-native end-to-end: CC above a guard, identity fill for
+    # unpaired ids via bucket anti-join — no driver-side id list
+    out = assign_components_ds(pairs, docs, id_col="doc_id").to_pandas()
+    return out.sort_values("id").reset_index(drop=True) \
+        .astype({"id": "int64", "component": "int64"})
 
 
 def q_minhash_pairs(sf_dir: str):

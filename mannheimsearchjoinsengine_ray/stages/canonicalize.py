@@ -85,30 +85,39 @@ def lsh_block_batch(batch: pa.Table, num_perm: int = 64,
     return blocker(batch)
 
 
+_BAND_COLS = ("band_idx", "band_hash", "id")
+
+
 def _pairs_from_group(group: pd.DataFrame, max_block: int = 50) -> pd.DataFrame:
+    """Band-bucket rows → unordered candidate pairs.  PAYLOAD-GENERIC: every
+    column besides (band_idx, band_hash, id) rides along as left_<col> /
+    right_<col> — callers choose what the verify stage needs in the shuffle
+    (short label strings, an 8-byte simhash, a binary vector) or carry
+    NOTHING and join payloads back by id (stages/dedup.attach_pair_payloads,
+    the right shape when the payload is full document text)."""
     g = group.drop_duplicates("id").sort_values("id")
-    ids = g["id"].tolist()
-    names = g["name"].tolist()
-    if len(ids) < 2:
-        return pd.DataFrame({
-            "left_id": pd.Series(dtype=group["id"].dtype),
-            "right_id": pd.Series(dtype=group["id"].dtype),
-            "left_name": pd.Series(dtype="string"),
-            "right_name": pd.Series(dtype="string"),
-        })
-    L, R, LN, RN = [], [], [], []
-    if len(ids) <= max_block:
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                L.append(ids[i]); R.append(ids[j])
-                LN.append(names[i]); RN.append(names[j])
+    payload = [c for c in g.columns if c not in _BAND_COLS]
+    k = len(g)
+    if k < 2:
+        data = {"left_id": pd.Series(dtype=group["id"].dtype),
+                "right_id": pd.Series(dtype=group["id"].dtype)}
+        for c in payload:
+            data[f"left_{c}"] = pd.Series(dtype=g[c].dtype)
+            data[f"right_{c}"] = pd.Series(dtype=g[c].dtype)
+        return pd.DataFrame(data)
+    if k <= max_block:
+        li, ri = np.triu_indices(k, 1)
     else:
         # star around the minimum id — O(n) edges, same components
-        for j in range(1, len(ids)):
-            L.append(ids[0]); R.append(ids[j])
-            LN.append(names[0]); RN.append(names[j])
-    return pd.DataFrame({"left_id": L, "right_id": R,
-                         "left_name": LN, "right_name": RN})
+        li = np.zeros(k - 1, dtype=np.int64)
+        ri = np.arange(1, k, dtype=np.int64)
+    data = {"left_id": g["id"].to_numpy()[li],
+            "right_id": g["id"].to_numpy()[ri]}
+    for c in payload:
+        v = g[c].to_numpy()
+        data[f"left_{c}"] = v[li]
+        data[f"right_{c}"] = v[ri]
+    return pd.DataFrame(data)
 
 
 def candidate_pairs(blocked_ds, max_block: int = 50, bloom_bits: int = 1 << 22):
@@ -166,8 +175,13 @@ def candidate_pairs(blocked_ds, max_block: int = 50, bloom_bits: int = 1 << 22):
         mask = bloom_contains(ray.get(bloom_ref), _band_keys(df))
         return df[mask]
 
-    return blocked_ds.map_batches(semi, batch_format="pandas") \
-        .repartition(8).groupby(["band_idx", "band_hash"]) \
+    # exchange width derived from the MEASURED hot-band bytes (a fixed 8
+    # capped the pair-producing reduce stage at any scale)
+    from .aggregates import _auto_block_count
+
+    hot = blocked_ds.map_batches(semi, batch_format="pandas").materialize()
+    return hot.repartition(_auto_block_count(hot)) \
+        .groupby(["band_idx", "band_hash"]) \
         .map_groups(lambda g: _pairs_from_group(g, max_block),
                     batch_format="pandas")
 

@@ -37,14 +37,17 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def exact_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
-    """(id, content_hash, keep) — keep = id is the group minimum."""
-    from ray.data.aggregate import Min
+    """(content_hash, keep_id) — keep_id = min id per hash group.  Two-phase
+    (map-side partials, derived final width): content_hash is
+    corpus-cardinality, so a bare groupby().aggregate() is the exact
+    anti-pattern the repo bans (CLAUDE.md)."""
+    from .aggregates import two_phase_agg
 
     hashed = docs_ds.map_batches(
         lambda t: add_content_hash(t, text_col), batch_format="pyarrow")
-    firsts = hashed.groupby("content_hash").aggregate(
-        Min(id_col, alias_name="keep_id"))
-    return firsts
+    return two_phase_agg(hashed.select_columns(["content_hash", id_col]),
+                         ["content_hash"], {"keep_id": (id_col, "min")},
+                         final_blocks=None)
 
 
 # ---------------------------------------------------------------------------
@@ -53,7 +56,13 @@ def exact_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
 
 class DocShingler:
     """(id, text) → LSH band rows over word k-shingles.  Stateful stage:
-    permutation tables compile once per worker."""
+    permutation tables compile once per worker.
+
+    Band rows carry (band_idx, band_hash, id) ONLY — tiling the document
+    text into every band row would amplify the blocking shuffle by
+    ``num_bands``× the corpus text (measured ×32 at the defaults); the
+    verify stage joins text back onto the few surviving candidate ids via
+    :func:`attach_pair_payloads`."""
 
     def __init__(self, num_perm: int = 128, num_bands: int = 32, k: int = 3,
                  id_col: str = "doc_id", text_col: str = "text"):
@@ -75,8 +84,83 @@ class DocShingler:
             "band_idx": pa.array(np.repeat(np.arange(self.num_bands, dtype=np.int32), n)),
             "band_hash": pa.array(bk.T.reshape(-1).astype("int64")),
             "id": pa.array(np.tile(np.array(ids), self.num_bands)),
-            "name": pa.array(np.tile(np.array(texts, dtype=object), self.num_bands)),
         })
+
+
+def _distinct_pairs(pairs_ds):
+    """Distinct (left_id, right_id) BEFORE the payload join — a pair found
+    via several bands would otherwise multiply the join and verify work."""
+    from .aggregates import dedupe_by_key
+
+    def add_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["left_id", "right_id"])
+        return df.assign(__pair=df["left_id"].astype(str) + "|"
+                         + df["right_id"].astype(str))
+
+    keyed = pairs_ds.map_batches(add_key, batch_format="pandas")
+    return dedupe_by_key(keyed, "__pair").map_batches(
+        lambda df: df.drop(columns="__pair"), batch_format="pandas")
+
+
+PAYLOAD_BROADCAST_BYTES = 64 << 20
+
+
+def attach_pair_payloads(pairs_ds, docs_ds, id_col: str, payload_col: str,
+                         left_out: str = "left_name",
+                         right_out: str = "right_name",
+                         broadcast_bytes: int = PAYLOAD_BROADCAST_BYTES):
+    """(left_id, right_id) pairs + (id, payload) docs → pairs with
+    left/right payload columns.  The doc table is first SEMI-filtered to ids
+    that appear in any pair (Bloom partials + exact bucket semi join), so
+    only candidate payloads move — the full corpus text never rides a
+    shuffle.  The filtered payload set (bounded by 2×pairs rows) broadcasts
+    via ray.put under the byte guard; above it, two co-partitioned bucket
+    joins attach the sides."""
+    import ray
+    import ray.data as rd
+
+    from .joins import bucket_join, bucket_semi_join
+
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() == 0:
+        empty = pairs_ds.limit(0).to_pandas()
+        empty[left_out] = pd.Series(dtype=object)
+        empty[right_out] = pd.Series(dtype=object)
+        return rd.from_pandas(empty)
+
+    mentioned = pairs_ds.map_batches(
+        lambda df: pd.DataFrame(
+            {"pid": pd.concat([df["left_id"], df["right_id"]],
+                              ignore_index=True)}),
+        batch_format="pandas")
+    docs_small = bucket_semi_join(
+        docs_ds.map_batches(lambda df: df[[id_col, payload_col]],
+                            batch_format="pandas"),
+        mentioned, id_col, "pid").materialize()
+
+    if docs_small.size_bytes() <= broadcast_bytes:
+        dsmall = docs_small.to_pandas()
+        lookup_ref = ray.put(dict(zip(dsmall[id_col], dsmall[payload_col])))
+
+        def attach(df: pd.DataFrame) -> pd.DataFrame:
+            lookup = ray.get(lookup_ref)
+            df = df.copy()
+            df[left_out] = df["left_id"].map(lookup)
+            df[right_out] = df["right_id"].map(lookup)
+            return df
+
+        return pairs_ds.map_batches(attach, batch_format="pandas")
+
+    left_side = docs_small.map_batches(
+        lambda df: df.rename(columns={id_col: "__lid",
+                                      payload_col: left_out}),
+        batch_format="pandas")
+    j1 = bucket_join(pairs_ds, left_side, "left_id", "__lid")
+    right_side = docs_small.map_batches(
+        lambda df: df.rename(columns={id_col: "__rid",
+                                      payload_col: right_out}),
+        batch_format="pandas")
+    return bucket_join(j1, right_side, "right_id", "__rid")
 
 
 def _verify_jaccard_shingles(pairs_df: pd.DataFrame, k: int,
@@ -96,31 +180,98 @@ def _verify_jaccard_shingles(pairs_df: pd.DataFrame, k: int,
 def minhash_dedup_pairs(docs_ds, min_jaccard: float = 0.7, num_perm: int = 128,
                         num_bands: int = 32, k: int = 3,
                         id_col: str = "doc_id", text_col: str = "text"):
-    """Verified near-duplicate pairs (left_id, right_id, jaccard)."""
+    """Verified near-duplicate pairs (left_id, right_id, jaccard).
+
+    Scale shape: the blocking shuffle carries (band_idx, band_hash, id)
+    rows only; distinct candidate pairs join text back through a
+    semi-filtered co-partitioned join (attach_pair_payloads) before the
+    exact-Jaccard verify."""
+    docs_ds = docs_ds.materialize()  # consumed twice: blocking + payloads
     blocked = docs_ds.map_batches(
         DocShingler,
         fn_constructor_kwargs={"num_perm": num_perm, "num_bands": num_bands,
                                "k": k, "id_col": id_col, "text_col": text_col},
         batch_format="pyarrow", concurrency=2)
-    pairs = candidate_pairs(blocked)
+    pairs = _distinct_pairs(candidate_pairs(blocked))
+    pairs = attach_pair_payloads(pairs, docs_ds, id_col, text_col)
     return pairs.map_batches(
         lambda df: _verify_jaccard_shingles(df, k, min_jaccard),
         batch_format="pandas")
 
 
-def assign_components(pairs_ds, all_ids=None) -> pd.DataFrame:
-    """Pairs → (id, component).  Ids not in any pair map to themselves when
-    ``all_ids`` is given."""
-    df = pairs_ds.to_pandas() if hasattr(pairs_ds, "to_pandas") else pairs_ds
-    if df.empty:
-        comp = pd.DataFrame({"id": [], "component": []})
+LOCAL_CC_EDGE_LIMIT = 2_000_000
+
+
+def assign_components(pairs_ds, all_ids=None,
+                      local_edge_limit: int = LOCAL_CC_EDGE_LIMIT) -> pd.DataFrame:
+    """Pairs → (id, component) DataFrame.  Ids not in any pair map to
+    themselves when ``all_ids`` is given.  Edge sets above the guard run the
+    distributed large/small-star CC instead of driver union-find (the
+    RESULT is still driver-sized — use :func:`assign_components_ds` when the
+    id universe itself is corpus-scale)."""
+    if hasattr(pairs_ds, "to_pandas"):
+        pairs_ds = pairs_ds.materialize()
+        if pairs_ds.count() > local_edge_limit:
+            from .canonicalize import connected_components_distributed
+
+            comp = connected_components_distributed(
+                pairs_ds.select_columns(["left_id", "right_id"])).to_pandas()
+            df = None
+        else:
+            df = pairs_ds.to_pandas()
     else:
-        comp = connected_components_local(df[["left_id", "right_id"]])
+        df = pairs_ds
+    if df is not None:
+        if df.empty:
+            comp = pd.DataFrame({"id": [], "component": []})
+        else:
+            comp = connected_components_local(df[["left_id", "right_id"]])
     if all_ids is not None:
         extra = sorted(set(all_ids) - set(comp["id"]))
         comp = pd.concat([comp, pd.DataFrame({"id": extra, "component": extra})],
                          ignore_index=True)
     return comp.sort_values("id").reset_index(drop=True)
+
+
+def assign_components_ds(pairs_ds, ids_ds=None, id_col: str = "doc_id",
+                         local_edge_limit: int = LOCAL_CC_EDGE_LIMIT):
+    """Dataset-native (id, component): verified-pair sets under the guard
+    finish with driver union-find (exact, post-blocking-small); above it the
+    distributed CC runs.  Ids in no pair fill identity through a bucket
+    ANTI join — the id universe never lands on the driver."""
+    import ray.data as rd
+
+    from .joins import bucket_anti_join
+
+    pairs_ds = pairs_ds.materialize()
+    n_edges = pairs_ds.count()
+    if n_edges == 0:
+        comp_ds = None
+    elif n_edges <= local_edge_limit:
+        comp = connected_components_local(
+            pairs_ds.select_columns(["left_id", "right_id"]).to_pandas())
+        comp_ds = rd.from_pandas(comp)
+    else:
+        from .canonicalize import connected_components_distributed
+
+        comp_ds = connected_components_distributed(
+            pairs_ds.select_columns(["left_id", "right_id"]))
+    if ids_ds is None:
+        if comp_ds is None:
+            return rd.from_pandas(pd.DataFrame({"id": [], "component": []}))
+        return comp_ds
+
+    ids_only = ids_ds.map_batches(
+        lambda df: pd.DataFrame({"id": df[id_col]}), batch_format="pandas")
+    if comp_ds is None:
+        return ids_only.map_batches(
+            lambda df: df.assign(component=df["id"]), batch_format="pandas")
+    comp_ds = comp_ds.materialize()
+    rest = bucket_anti_join(ids_only, comp_ds.select_columns(["id"]),
+                            "id", "id")
+    rest = rest.map_batches(lambda df: df.assign(component=df["id"]),
+                            batch_format="pandas")
+    return comp_ds.union(rest)
 
 
 # ---------------------------------------------------------------------------
@@ -164,11 +315,13 @@ def simhash_dedup_pairs(docs_ds, max_hamming: int = 3,
             out_chunk.extend(chunk.tolist())
             out_id.extend(ids)
             out_sim.extend(sh.astype("int64").tolist())
+        # the 8-byte simhash IS the verify payload — small enough to ride
+        # the band shuffle directly (unlike document text)
         return pa.table({
             "band_idx": pa.array(out_idx, pa.int32()),
             "band_hash": pa.array(out_chunk, pa.int64()),
             "id": pa.array(out_id),
-            "name": pa.array([str(s) for s in out_sim], pa.string()),
+            "sh": pa.array(out_sim, pa.int64()),
         })
 
     pairs = candidate_pairs(sims.map_batches(explode_chunks, batch_format="pyarrow"))
@@ -176,9 +329,9 @@ def simhash_dedup_pairs(docs_ds, max_hamming: int = 3,
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df.assign(hamming=pd.Series(dtype=int))
-        l = df["left_name"].astype(np.uint64)
-        r = df["right_name"].astype(np.uint64)
-        ham = hashing.hamming_distance64(l.to_numpy(), r.to_numpy())
+        l = df["left_sh"].to_numpy(dtype=np.int64).view(np.uint64)
+        r = df["right_sh"].to_numpy(dtype=np.int64).view(np.uint64)
+        ham = hashing.hamming_distance64(l, r)
         out = df.assign(hamming=ham)
         return out[out["hamming"] <= max_hamming]
 
@@ -194,13 +347,16 @@ def ngram_jaccard_pairs(docs_ds, min_jaccard: float = 0.6,
                         id_col: str = "doc_id", text_col: str = "text"):
     """LSH-blocked candidates verified by char 2-4-gram Jaccard — the
     reference's string similarity (InstanceBasedComparer.java:556-575) at
-    document granularity."""
+    document granularity.  Same id-only blocking + payload-join shape as
+    ``minhash_dedup_pairs``."""
+    docs_ds = docs_ds.materialize()  # consumed twice: blocking + payloads
     blocked = docs_ds.map_batches(
         DocShingler,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col,
                                "num_perm": 128, "num_bands": 32},
         batch_format="pyarrow", concurrency=2)
-    pairs = candidate_pairs(blocked)
+    pairs = attach_pair_payloads(
+        _distinct_pairs(candidate_pairs(blocked)), docs_ds, id_col, text_col)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -238,6 +394,10 @@ class HyperplaneBucketer:
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = vecs / np.maximum(norms, 1e-12)
         n = len(ids)
+        # unit vectors ride the band shuffle as fixed-width little-endian
+        # f32 bytes (zero parse/format cost, ~2.5× smaller than the decimal
+        # string form this replaced)
+        vec_bytes = [unit[i].astype("<f4").tobytes() for i in range(n)]
         out_idx, out_bucket, out_id, out_vec = [], [], [], []
         weights = (1 << np.arange(self.bits)).astype(np.int64)
         for t in range(self.num_tables):
@@ -246,13 +406,12 @@ class HyperplaneBucketer:
             out_idx.extend([t] * n)
             out_bucket.extend(bucket.tolist())
             out_id.extend(ids)
-            out_vec.extend(unit.tolist())
+            out_vec.extend(vec_bytes)
         return pa.table({
             "band_idx": pa.array(out_idx, pa.int32()),
             "band_hash": pa.array(out_bucket, pa.int64()),
             "id": pa.array(out_id),
-            "name": pa.array([",".join(f"{x:.6f}" for x in v) for v in out_vec],
-                             pa.string()),
+            "vec": pa.array(out_vec, pa.binary()),
         })
 
 
@@ -291,10 +450,11 @@ def embedding_dedup_pairs(emb_ds, min_cosine: float = 0.95, dim: int = 64,
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
-            return df.assign(cosine=pd.Series(dtype=float))
-        lv = np.array([np.fromstring(s, sep=",") for s in df["left_name"]])
-        rv = np.array([np.fromstring(s, sep=",") for s in df["right_name"]])
-        cos = (lv * rv).sum(axis=1)
+            return df.assign(cosine=pd.Series(dtype=float))[
+                ["left_id", "right_id", "cosine"]]
+        lv = np.stack([np.frombuffer(b, dtype="<f4") for b in df["left_vec"]])
+        rv = np.stack([np.frombuffer(b, dtype="<f4") for b in df["right_vec"]])
+        cos = (lv.astype(np.float64) * rv.astype(np.float64)).sum(axis=1)
         out = df.assign(cosine=cos)
         out = out[out["cosine"] >= min_cosine]
         return out[["left_id", "right_id", "cosine"]]

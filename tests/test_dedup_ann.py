@@ -330,3 +330,39 @@ def test_png_all_filter_types_decode():
         chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
     out = codecs.decode_png(png)
     assert np.array_equal(out, img)
+
+
+def test_attach_pair_payloads_join_path_matches_broadcast(ray_session, planted_docs):
+    """Above the byte guard the payload attach runs as two co-partitioned
+    bucket joins; the result must equal the broadcast path row-for-row."""
+    import pandas as pd
+
+    docs, ids = planted_docs
+    docs = docs.materialize()
+    blocked = docs.map_batches(D.DocShingler, fn_constructor_kwargs={},
+                               batch_format="pyarrow", concurrency=2)
+    from mannheimsearchjoinsengine_ray.stages.canonicalize import candidate_pairs
+
+    pairs = D._distinct_pairs(candidate_pairs(blocked)).materialize()
+    cols = ["left_id", "right_id", "left_name", "right_name"]
+    bc = D.attach_pair_payloads(pairs, docs, "doc_id", "text") \
+        .to_pandas()[cols].sort_values(cols[:2]).reset_index(drop=True)
+    jn = D.attach_pair_payloads(pairs, docs, "doc_id", "text",
+                                broadcast_bytes=0) \
+        .to_pandas()[cols].sort_values(cols[:2]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, jn)
+    assert len(bc) > 0
+
+
+def test_assign_components_ds_matches_local(ray_session, planted_docs):
+    """Dataset-native component assignment (guarded CC + anti-join identity
+    fill) must equal the driver path, on both sides of the edge guard."""
+    docs, ids = planted_docs
+    pairs = D.minhash_dedup_pairs(docs, min_jaccard=0.6).materialize()
+    local = D.assign_components(pairs, all_ids=ids)
+    for limit in (D.LOCAL_CC_EDGE_LIMIT, 0):   # driver CC vs distributed CC
+        ds = D.assign_components_ds(pairs, docs, id_col="doc_id",
+                                    local_edge_limit=limit).to_pandas()
+        ds = ds.sort_values("id").reset_index(drop=True)
+        assert dict(zip(ds["id"], ds["component"])) == \
+            dict(zip(local["id"], local["component"]))

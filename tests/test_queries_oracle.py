@@ -56,3 +56,13 @@ def test_rows_only_queries_run(ray_session, sf_dir):
         if not isinstance(out, pd.DataFrame):
             out = out.to_pandas()
         assert len(out) >= 0 and len(out.columns) > 0
+
+
+def test_revenue_by_nation_join_path_matches_broadcast(ray_session, sf_dir):
+    """The guarded dimension chain: broadcast path (default) and the
+    above-guard co-partitioned bucket-join path must hash-match."""
+    from mannheimsearchjoinsengine_ray.pipelines.queries import q_revenue_by_nation
+
+    bc = _normalize(q_revenue_by_nation(sf_dir))
+    joined = _normalize(q_revenue_by_nation(sf_dir, broadcast_limit=0))
+    pd.testing.assert_frame_equal(bc, joined, check_dtype=False)
