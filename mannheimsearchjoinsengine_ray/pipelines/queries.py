@@ -752,6 +752,15 @@ def _persist_ann_oracle(sf_dir: str):
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     cents = build_ivf_index(emb, index_dir, n_centroids=16)
 
+    # the marker fingerprints the INDEX CONTENT, not just the sf key: a
+    # rebuilt /tmp/graft_ivf_<key> (random_sample's draw depends on block
+    # layout) must invalidate the persisted assignment/centroids even when
+    # the oracle dir survived the rebuild
+    import hashlib
+
+    with open(os.path.join(index_dir, "centroids.npy"), "rb") as fh:
+        key = f"{key}|{hashlib.md5(fh.read()).hexdigest()}"
+
     os.makedirs(_KG_ORACLE_BASE, exist_ok=True)
     marker = os.path.join(_KG_ORACLE_BASE, "ann.key")
     if os.path.exists(marker):
@@ -1210,10 +1219,13 @@ def q_kg_link_quality(sf_dir: str):
         subdir="linkq", cache_key=f"{corpus}|{index_dir}")
     import pyarrow.parquet as _pq
 
+    # atomic like every other oracle write: a crash mid-write must not leave
+    # a truncated parquet behind the dir's cache marker
+    _gold_path = _os.path.join(_KG_ORACLE_BASE, "linkq", "gold.parquet")
     _pq.write_table(pa.Table.from_pandas(
         gold[["url", "table_idx", "row_idx", "entity_uri"]],
-        preserve_index=False),
-        _os.path.join(_KG_ORACLE_BASE, "linkq", "gold.parquet"))
+        preserve_index=False), _gold_path + ".tmp")
+    _os.replace(_gold_path + ".tmp", _gold_path)
     r = evaluate_links(got[["url", "table_idx", "row_idx", "entity_uri"]],
                        gold[["url", "table_idx", "row_idx", "entity_uri"]])
     return pd.DataFrame([{

@@ -27,6 +27,20 @@ def _unit(m: np.ndarray, dtype=np.float32) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _det_topk(sims: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the top-``kk`` by (cosine DESC, id ASC) — the DuckDB
+    oracle's order.  A bare argpartition keeps/drops equal-cosine candidates
+    at the k boundary arbitrarily; here the tie set at the kth value is
+    gathered exactly (O(n) threshold pass) and only it is sorted."""
+    if kk >= len(sims):
+        cand = np.arange(len(sims))
+    else:
+        thr = np.partition(sims, len(sims) - kk)[len(sims) - kk]
+        cand = np.flatnonzero(sims >= thr)
+    order = np.lexsort((ids[cand], -sims[cand]))
+    return cand[order[:kk]]
+
+
 def knn_brute(emb_ds, query_matrix: np.ndarray, k: int = 5,
               id_col: str = "vec_id", vec_col: str = "embedding",
               query_ids: np.ndarray | None = None) -> pd.DataFrame:
@@ -42,10 +56,9 @@ def knn_brute(emb_ds, query_matrix: np.ndarray, k: int = 5,
         vecs = _unit(batch.column(vec_col).to_pylist(), dtype=np.float64)
         sims = qm @ vecs.T                        # (Q, n)
         kk = min(k, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         rows_q, rows_id, rows_s = [], [], []
         for qi in range(qm.shape[0]):
-            sel = top[qi]
+            sel = _det_topk(sims[qi], ids, kk)
             rows_q.extend([qi] * len(sel))
             rows_id.extend(ids[sel].tolist())
             rows_s.extend(sims[qi, sel].tolist())
@@ -221,7 +234,7 @@ def knn_ivf_index(index_dir: str, query_matrix: np.ndarray, k: int = 5,
             sims = vecs[mask] @ qm[qi]
             sub_ids = ids[mask]
             kk = min(k, len(sims))
-            sel = np.argpartition(-sims, kk - 1)[:kk]
+            sel = _det_topk(sims, sub_ids, kk)
             rows_q.extend([qi] * kk)
             rows_id.extend(sub_ids[sel].tolist())
             rows_s.extend(sims[sel].tolist())
@@ -291,7 +304,7 @@ def knn_ivf(emb_ds, query_matrix: np.ndarray, k: int = 5, n_centroids: int = 16,
             sims = vecs[mask] @ qm[qi]
             sub_ids = ids[mask]
             kk = min(k, len(sims))
-            sel = np.argpartition(-sims, kk - 1)[:kk]
+            sel = _det_topk(sims, sub_ids, kk)
             rows_q.extend([qi] * kk)
             rows_id.extend(sub_ids[sel].tolist())
             rows_s.extend(sims[sel].tolist())

@@ -376,10 +376,6 @@ def _broadcast_state(ref) -> tuple:
     key = ref.hex() if cacheable else None
     state = _WORKER_STATES.get(key) if cacheable else None
     if state is None:
-        import os as _os
-        import time as _time
-
-        _t0 = _time.time()
         import ray
 
         tbl = ref if isinstance(ref, pa.Table) else ray.get(ref)
@@ -403,9 +399,6 @@ def _broadcast_state(ref) -> tuple:
             if len(_WORKER_STATES) > 4:
                 _WORKER_STATES.clear()
             _WORKER_STATES[key] = state
-        if _os.environ.get("GRAFT_DEBUG_STATE"):
-            with open("/tmp/state_builds.log", "a") as _fh:
-                _fh.write(f"{_os.getpid()} {_time.time()-_t0:.3f}\n")
     return state
 
 

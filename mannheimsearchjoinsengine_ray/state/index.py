@@ -302,7 +302,10 @@ class LabelIndex:
             results = scored
         rows = [(self.entries_uri[eid], score, self.entries_norm[eid],
                  self.entries_type[eid]) for eid, score in results]
-        rows.sort(key=lambda r: (-r[1], r[0]))
+        # rank by the score ROUNDED to 9 decimals with uri tie-break — the
+        # exact ordering the SQL oracle uses, so a float-summation drift
+        # inside the rounding window can never flip the top-1 between sides
+        rows.sort(key=lambda r: (-round(r[1], 9), r[0]))
         # dedup per entity uri keeping best name (per-(value,table) dedup analog)
         seen: set[str] = set()
         out = []
