@@ -2,30 +2,48 @@
 
 Behavioral port of SJ/utils/DomainUtils.java:34-186 (pay-level domain, TLD,
 subdomain; reversible URL compression).  The reference uses Guava's
-InternetDomainName over the full public-suffix list plus two ~1000-entry
-abbreviation maps; we ship a compact public-suffix subset (extend
-``_PUBLIC_SUFFIXES`` as data, exactly like the reference's data maps) and a
-deterministic dictionary-free compression scheme.
+InternetDomainName (``topPrivateDomain()``, DomainUtils.java:105) — i.e. the
+FULL public-suffix list, ICANN + private sections, wildcards and exceptions
+included.  We bundle the same public list (publicsuffix.org, MPL-2.0, header
+retained) as package data and implement the published matching algorithm;
+the ~1000-entry PLD abbreviation map stays our own data with a deterministic
+token scheme.
 """
 
 from __future__ import annotations
 
+import os
 import re
 from urllib.parse import urlsplit
 
-# Compact public-suffix set: common gTLDs + ccTLDs + frequent 2-level suffixes.
-_PUBLIC_SUFFIXES = frozenset(
-    """
-    com org net edu gov mil int info biz name mobi tel travel jobs cat asia
-    arpa aero coop museum pro xxx io ai app dev co us uk de fr it es nl be at
-    ch se no dk fi pl cz ru ua jp cn kr in au nz br mx ar cl ca gr pt hu ro
-    bg sk si hr rs ba mk al tr il sa ae eg za ng ke ma tn id my sg th vn ph
-    co.uk org.uk ac.uk gov.uk me.uk net.uk co.jp ne.jp or.jp ac.jp go.jp
-    com.au net.au org.au edu.au gov.au com.br net.br org.br gov.br com.cn
-    net.cn org.cn gov.cn com.mx com.ar com.tr com.sg com.my co.in co.nz
-    co.za co.kr ac.at or.at gv.at co.at
-    """.split()
-)
+_PSL_PATH = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                         "data", "public_suffix_list.dat")
+
+# parsed once per process on first use: exact rules, wildcard parents
+# ('*.ck' → 'ck'), exception rules sans '!' ('!www.ck' → 'www.ck')
+_PSL_CACHE: tuple[frozenset, frozenset, frozenset] | None = None
+
+
+def _psl() -> tuple[frozenset, frozenset, frozenset]:
+    global _PSL_CACHE
+    if _PSL_CACHE is None:
+        exact, wildcard, exception = set(), set(), set()
+        with open(_PSL_PATH, encoding="utf-8") as fh:
+            for line in fh:
+                rule = line.strip()
+                if not rule or rule.startswith("//"):
+                    continue
+                rule = rule.split()[0].lower()
+                if rule.startswith("!"):
+                    exception.add(rule[1:])
+                elif rule.startswith("*."):
+                    wildcard.add(rule[2:])
+                else:
+                    exact.add(rule)
+        _PSL_CACHE = (frozenset(exact), frozenset(wildcard),
+                      frozenset(exception))
+    return _PSL_CACHE
+
 
 _SCHEME_RE = re.compile(r"^[a-z][a-z0-9+.-]*://", re.I)
 
@@ -39,36 +57,37 @@ def get_host(url: str) -> str:
 
 
 def get_public_suffix(host: str) -> str:
-    """Longest matching public suffix of a hostname ('' if none known)."""
+    """Public suffix of a hostname per the publicsuffix.org algorithm:
+    exception rules prevail (suffix = rule minus its leftmost label), else
+    the longest matching rule (exact or ``*.parent`` wildcard), else the
+    default rule ``*`` (the rightmost label)."""
+    exact, wildcard, exception = _psl()
     labels = host.split(".")
-    for i in range(len(labels) - 2, -1, -1):
-        cand = ".".join(labels[i:])
-        if cand not in _PUBLIC_SUFFIXES:
-            # the suffix is the part after this label (may be '')
+    n = len(labels)
+    for i in range(n):                       # longest candidate first
+        if ".".join(labels[i:]) in exception:
             return ".".join(labels[i + 1:])
-    return host if host in _PUBLIC_SUFFIXES else (
-        ".".join(labels[1:]) if len(labels) > 1 and ".".join(labels[1:]) else ""
-    )
+    for i in range(n):
+        cand = ".".join(labels[i:])
+        if cand in exact:
+            return cand
+        if i + 1 < n and ".".join(labels[i + 1:]) in wildcard:
+            return cand
+    return labels[-1] if labels != [""] else ""
 
 
 def get_top_level_domain(url: str) -> str:
-    """TLD of the URL's host (rightmost public-suffix match), e.g. 'co.uk'."""
-    host = get_host(url)
-    labels = host.split(".")
-    best = ""
-    for i in range(len(labels)):
-        cand = ".".join(labels[i:])
-        if cand in _PUBLIC_SUFFIXES:
-            best = cand
-            break
-    return best or (labels[-1] if labels else "")
+    """TLD of the URL's host (its public suffix), e.g. 'co.uk'."""
+    return get_public_suffix(get_host(url))
 
 
 def get_pay_level_domain(url: str) -> str:
     """Registrable domain: one label below the public suffix
-    ('a.b.example.co.uk' → 'example.co.uk')."""
+    ('a.b.example.co.uk' → 'example.co.uk'); the host itself when it IS a
+    public suffix (Guava topPrivateDomain throws there — callers here want
+    a total function)."""
     host = get_host(url)
-    tld = get_top_level_domain(url)
+    tld = get_public_suffix(host)
     if not tld or host == tld:
         return host
     prefix = host[: -(len(tld) + 1)]

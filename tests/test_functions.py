@@ -287,6 +287,30 @@ class TestDomains:
         assert domains.get_sub_domain("http://a.b.example.com") == "a.b"
         assert domains.get_sub_domain("http://example.com") == ""
 
+    def test_pld_full_psl(self):
+        """The bundled publicsuffix.org list: multi-level ccTLDs, wildcard
+        rules, exception rules and the private section all resolve like
+        Guava's topPrivateDomain (DomainUtils.java:105)."""
+        # two-level ccTLD suffixes beyond any hand-picked subset
+        assert domains.get_pay_level_domain("http://foo.com.eg") == "foo.com.eg"
+        assert domains.get_pay_level_domain("http://a.foo.com.pe") == "foo.com.pe"
+        assert domains.get_pay_level_domain("http://x.y.co.th") == "y.co.th"
+        assert domains.get_top_level_domain("http://a.foo.com.pe") == "com.pe"
+        # wildcard rule *.ck → example.ck is itself a suffix
+        assert domains.get_public_suffix("example.ck") == "example.ck"
+        assert domains.get_pay_level_domain("http://a.b.ck") == "a.b.ck"
+        # exception rule !www.ck beats the wildcard
+        assert domains.get_public_suffix("www.ck") == "ck"
+        assert domains.get_pay_level_domain("http://www.ck") == "www.ck"
+        assert domains.get_pay_level_domain("http://city.kawasaki.jp") \
+            == "city.kawasaki.jp"
+        # private section (Guava counts it): blogspot.com is a suffix
+        assert domains.get_pay_level_domain("http://foo.blogspot.com") \
+            == "foo.blogspot.com"
+        # unknown TLD → default rule '*': rightmost label is the suffix
+        assert domains.get_pay_level_domain("http://site.notarealtld") \
+            == "site.notarealtld"
+
     def test_compression_roundtrip(self):
         for u in ["http://www.example.com/page1.html",
                   "https://x.org/index~tilde",
