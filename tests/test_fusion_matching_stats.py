@@ -131,6 +131,24 @@ class TestMatching:
         assert base == pytest.approx(
             2.0 * jaccard_ngram("organisation", "organization"))
 
+    def test_lexicon_breadth_round4(self):
+        """Round-4 lexicon extension: general-vocabulary synonym groups and
+        hypernym chains resolve through the same tiers."""
+        from mannheimsearchjoinsengine_ray.functions import wordnet as W
+
+        assert "objective" in W.synonyms("goal")
+        assert "vendor" in W.synonyms("merchant")
+        assert "prediction" in W.synonyms("forecast")
+        assert "person" in W.hypernyms("ambassador")
+        assert "metal" in W.hypernyms("titanium")
+        assert "sport" in W.hypernyms("volleyball")
+        assert "language" in W.hypernyms("swahili")
+        # hyponym direction derives from the same table
+        assert "surgeon" in W.hyponyms("doctor")
+        # synonym tier beats hypernym tier in label similarity
+        assert M.label_similarity("aim", "objective") >= 0.8
+        assert 0.6 <= M.label_similarity("violin", "piano") < 0.8  # siblings
+
     def test_decide_object_matching(self):
         scores = {("c1", "c2"): 0.9, ("c1", "c3"): 0.85, ("c2", "c3"): 0.2}
         types = {"c1": "string", "c2": "string", "c3": "string"}
