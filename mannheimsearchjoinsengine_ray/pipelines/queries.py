@@ -1235,19 +1235,11 @@ def q_kg_link_quality(sf_dir: str):
     }])
 
 
-def q_kg_column_match(sf_dir: str):
-    """Schema matching end-to-end (InstanceBasedMatcher.calculateScores +
-    decideObjectMatching): candidate column pairs come from the virtual-table
-    graph (key co-occurrence — NOT all-pairs), values align on shared
-    normalized keys, instance scores feed the greedy 1↔N decision.
-
-    SQL-oracled: the raw pair-score matrix and per-column voted types persist
-    to parquet (scoring itself is pinned by pytest goldens on score_pairs);
-    DuckDB REPLAYS the greedy decision — sorted seed order, per-type
-    threshold with the below-threshold break rule, strictly-higher-score
-    partner stealing — in a recursive CTE, one iteration per seed column."""
-    import os
-
+def _colmatch_state(sf_dir: str):
+    """Shared column-matching pipeline state for ``kg_column_match`` and
+    ``kg_merge_columns``: candidate pairs from the virtual-table graph,
+    aligned values, voted types, instance scores and the greedy 1↔N
+    decision.  Returns None when no candidate pairs exist."""
     from .kg import extract_tables_ds, read_pages
     from ..stages.infogather import key_value_postings_batch, table_graph_edges, virtual_tables_batch
     from ..stages.matching import decide_object_matching, score_pairs_ds
@@ -1316,12 +1308,34 @@ def q_kg_column_match(sf_dir: str):
             "left_values": value_map[s], "right_values": value_map[d],
         })
     if not pair_rows:
-        return pd.DataFrame({"left_col": [], "right_col": []})
+        return None
     scored = score_pairs_ds(rd.from_pandas(pd.DataFrame(pair_rows))).to_pandas()
     scores = {(r["left_col"], r["right_col"]): r["score"]
               for _, r in scored.iterrows()}
     col_types = {c: types.get(c, "string") for c in vts}
     matched = decide_object_matching(scores, col_types)
+    return {"scored": scored, "scores": scores, "matched": matched,
+            "value_map": value_map, "hdr": hdr, "src": src,
+            "col_types": col_types}
+
+
+def q_kg_column_match(sf_dir: str):
+    """Schema matching end-to-end (InstanceBasedMatcher.calculateScores +
+    decideObjectMatching): candidate column pairs come from the virtual-table
+    graph (key co-occurrence — NOT all-pairs), values align on shared
+    normalized keys, instance scores feed the greedy 1↔N decision.
+
+    SQL-oracled: the raw pair-score matrix and per-column voted types persist
+    to parquet (scoring itself is pinned by pytest goldens on score_pairs);
+    DuckDB REPLAYS the greedy decision — sorted seed order, per-type
+    threshold with the below-threshold break rule, strictly-higher-score
+    partner stealing — in a recursive CTE, one iteration per seed column."""
+    import os
+
+    st = _colmatch_state(sf_dir)
+    if st is None:
+        return pd.DataFrame({"left_col": [], "right_col": []})
+    scored, matched, col_types = st["scored"], st["matched"], st["col_types"]
     matched_pairs = {(c, p) for c, ps in matched.items() for p in ps}
     scored["decided"] = [
         (l, r) in matched_pairs or (r, l) in matched_pairs
@@ -1341,6 +1355,91 @@ def q_kg_column_match(sf_dir: str):
                                   "dtype": [col_types[c] for c in col_types]}),
                     os.path.join(_KG_ORACLE_BASE, "colmatch_types.parquet"))
     return scored.drop(columns=["score_raw"])
+
+
+def q_kg_merge_columns(sf_dir: str):
+    """ExperimentalDuplicateResolver end-to-end
+    (SJ/datafusion/ExperimentalDuplicateResolver.java): the instance-matched
+    column groups from the ``kg_column_match`` decision merge row-wise —
+    same→left, null-fill both ways, string voting (first-to-exceed quirk),
+    numeric median (past-the-middle quirk), date dead-store average.
+
+    SQL-oracled with the same layering as ``kg_refine_link``: the GROUP
+    composition/order and per-cell values (+ engine-parsed epoch seconds for
+    the date branch) persist to parquet — the groups themselves are already
+    independently verified by the ``kg_column_match`` recursive-CTE replay —
+    and DuckDB recomputes EVERY merged value: the branch dispatch, the
+    first-to-exceed voting via running-max windows, the median index quirk,
+    the float round-trip (DuckDB and Python agree on shortest-roundtrip
+    double formatting), and the dead-store date arithmetic."""
+    import dataclasses
+    import os
+
+    from datetime import timezone
+
+    from ..config import DEFAULT_CONFIG
+    from ..functions.parsers import parse_date
+    from ..stages.matching import (ColumnRef, decide_object_matching,
+                                   merge_duplicate_columns)
+
+    st = _colmatch_state(sf_dir)
+    if st is None:
+        return pd.DataFrame({"group_id": [], "header": [],
+                             "key_norm": [], "merged_value": []})
+    value_map = st["value_map"]
+    hdr, src, col_types = st["hdr"], st["src"], st["col_types"]
+    # the merge semantics are what this query exercises, so groups form at
+    # permissive instance thresholds (a pipeline-config choice; the DEFAULT
+    # thresholds' decision is what kg_column_match verifies independently)
+    merge_cfg = dataclasses.replace(DEFAULT_CONFIG,
+                                    dup_string_threshold=0.2,
+                                    dup_numeric_threshold=0.15)
+    matched = decide_object_matching(st["scores"], col_types, cfg=merge_cfg)
+    members = set(matched) | {r for rs in matched.values() for r in rs}
+    cols = [ColumnRef(column_id=vt, header=hdr.get(vt, ""),
+                      data_type=col_types.get(vt, "string"),
+                      source=src.get(vt, ""), values=value_map[vt])
+            for vt in sorted(members) if vt in value_map]
+    merged_cols, _ = merge_duplicate_columns(cols, matched)
+
+    # oracle inputs: group composition/order + per-cell values (date cells
+    # also carry the engine-parsed epoch seconds, pinned by parser tests)
+    g_rows = {"group_id": [], "vt_id": [], "pos": [], "header": [],
+              "dtype": []}
+    for left_id in sorted(matched):
+        for pos, vt in enumerate([left_id] + list(matched[left_id])):
+            g_rows["group_id"].append(left_id)
+            g_rows["vt_id"].append(vt)
+            g_rows["pos"].append(pos)
+            g_rows["header"].append(hdr.get(vt, ""))
+            g_rows["dtype"].append(col_types.get(left_id, "string"))
+    v_rows = {"vt_id": [], "key_norm": [], "value": [], "epoch_s": []}
+    for vt in sorted(members):
+        for k, v in value_map.get(vt, {}).items():
+            d = parse_date(v) if col_types.get(vt, "string") == "date" or \
+                any(col_types.get(g, "") == "date"
+                    for g in matched if vt == g or vt in matched[g]) else None
+            v_rows["vt_id"].append(vt)
+            v_rows["key_norm"].append(k)
+            v_rows["value"].append(v)
+            v_rows["epoch_s"].append(
+                int(d.replace(tzinfo=timezone.utc).timestamp())
+                if d is not None else None)
+    _atomic_parquet(pd.DataFrame(g_rows),
+                    os.path.join(_KG_ORACLE_BASE, "colmerge_groups.parquet"))
+    _atomic_parquet(pd.DataFrame(v_rows).astype({"epoch_s": "Int64"}),
+                    os.path.join(_KG_ORACLE_BASE, "colmerge_values.parquet"))
+
+    out = {"group_id": [], "header": [], "key_norm": [], "merged_value": []}
+    leaders = {c.column_id: c for c in merged_cols if c.column_id in matched}
+    for gid in sorted(leaders):
+        c = leaders[gid]
+        for k in sorted(c.values):
+            out["group_id"].append(gid)
+            out["header"].append(c.header)
+            out["key_norm"].append(k)
+            out["merged_value"].append(c.values[k])
+    return pd.DataFrame(out)
 
 
 def q_kg_clean_tables(sf_dir: str):
@@ -2773,6 +2872,140 @@ FROM pairs p
 ORDER BY p.left_col, p.right_col
 """
 
+# ExperimentalDuplicateResolver merge: DuckDB recomputes EVERY merged value
+# from the persisted group composition (independently verified by the
+# kg_column_match decision replay) and per-cell values — branch dispatch,
+# first-to-exceed voting (running-max window), median past-the-middle index
+# quirk (row_number = size/2+1 even, size/2+2 odd), float round-trip
+# (shortest-roundtrip double formatting agrees between DuckDB and Python),
+# and the dead-store date average (last parsed right's epoch / (1+n),
+# tz-free via make_timestamp)
+ORACLE_SQL["kg_merge_columns"] = """
+WITH
+g AS MATERIALIZED (
+    SELECT * FROM read_parquet('/tmp/graft_kg_oracle/colmerge_groups.parquet')
+),
+v AS MATERIALIZED (
+    SELECT * FROM read_parquet('/tmp/graft_kg_oracle/colmerge_values.parquet')
+),
+hdrs AS (
+    SELECT group_id, string_agg(header, '||' ORDER BY pos) AS header
+    FROM g GROUP BY group_id
+),
+nr AS (
+    SELECT group_id, COUNT(*) - 1 AS n_rights, MAX(dtype) AS dtype
+    FROM g GROUP BY group_id
+),
+leftkeys AS MATERIALIZED (
+    SELECT g.group_id, val.key_norm, val.value AS lv, val.epoch_s AS lepoch
+    FROM g JOIN v val ON val.vt_id = g.vt_id WHERE g.pos = 0
+),
+cells AS MATERIALIZED (
+    SELECT lk.group_id, lk.key_norm, g.pos,
+           COALESCE(val.value, 'null') AS val, val.epoch_s
+    FROM leftkeys lk
+    JOIN g ON g.group_id = lk.group_id AND g.pos > 0
+    LEFT JOIN v val ON val.vt_id = g.vt_id AND val.key_norm = lk.key_norm
+),
+flags AS (
+    SELECT c.group_id, c.key_norm,
+           BOOL_AND(c.val = lk.lv) AS all_same,
+           BOOL_AND(c.val = 'null') AS rights_null,
+           arg_min(c.val, c.pos) FILTER (WHERE c.val <> 'null') AS first_nonnull
+    FROM cells c JOIN leftkeys lk USING (group_id, key_norm)
+    GROUP BY c.group_id, c.key_norm
+),
+allpos AS (
+    SELECT group_id, key_norm, 0 AS pos, lv AS val FROM leftkeys
+    UNION ALL
+    SELECT group_id, key_norm, pos, val FROM cells
+),
+counted AS (
+    SELECT *, COUNT(*) OVER (PARTITION BY group_id, key_norm, val
+                             ORDER BY pos) AS c
+    FROM allpos
+),
+runm AS (
+    SELECT *, MAX(c) OVER (PARTITION BY group_id, key_norm ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prevmax
+    FROM counted
+),
+vote AS (
+    SELECT group_id, key_norm,
+           arg_max(val, pos) FILTER (WHERE pos > 0 AND c > prevmax) AS winner
+    FROM runm GROUP BY group_id, key_norm
+),
+nums AS (
+    SELECT group_id, key_norm, pos, TRY_CAST(val AS DOUBLE) AS d FROM allpos
+),
+numflag AS (
+    SELECT group_id, key_norm, BOOL_AND(d IS NOT NULL) AS all_num,
+           COUNT(*) AS sz
+    FROM nums GROUP BY group_id, key_norm
+),
+ranked AS (
+    SELECT n.group_id, n.key_norm, n.d,
+           row_number() OVER (PARTITION BY n.group_id, n.key_norm
+                              ORDER BY n.d) AS rn
+    FROM nums n
+),
+med AS (
+    SELECT r.group_id, r.key_norm, CAST(r.d AS VARCHAR) AS medval
+    FROM ranked r JOIN numflag f USING (group_id, key_norm)
+    WHERE f.all_num AND r.rn = CASE WHEN f.sz % 2 = 0 THEN f.sz / 2 + 1
+                                    ELSE f.sz / 2 + 2 END
+),
+bad AS (
+    SELECT group_id, key_norm,
+           MIN(pos) FILTER (WHERE epoch_s IS NULL) AS bad_p
+    FROM cells GROUP BY group_id, key_norm
+),
+lastp AS (
+    SELECT c.group_id, c.key_norm,
+           arg_max(c.epoch_s, c.pos) FILTER (
+               WHERE c.epoch_s IS NOT NULL
+                 AND c.pos < COALESCE(b.bad_p, 1000000000)) AS last_epoch
+    FROM cells c JOIN bad b USING (group_id, key_norm)
+    GROUP BY c.group_id, c.key_norm
+),
+datecalc AS (
+    SELECT lk.group_id, lk.key_norm,
+           strftime(make_timestamp(CAST(TRUNC(
+               (CASE WHEN lk.lepoch IS NULL THEN 0
+                     ELSE COALESCE(lp.last_epoch, lk.lepoch) END)
+               / (1.0 + n.n_rights)) * 1000000 AS BIGINT)),
+               '%Y-%m-%d %H:%M:%S') AS merged_date
+    FROM leftkeys lk
+    JOIN lastp lp USING (group_id, key_norm)
+    JOIN nr n ON n.group_id = lk.group_id
+),
+final AS (
+    SELECT lk.group_id, lk.key_norm,
+           CASE
+             WHEN f.all_same THEN lk.lv
+             WHEN lk.lv = 'null' THEN COALESCE(f.first_nonnull, 'null')
+             WHEN f.rights_null THEN lk.lv
+             WHEN n.dtype IN ('string', 'link')
+                  THEN COALESCE(vt.winner, lk.lv)
+             WHEN n.dtype = 'bool' THEN lk.lv
+             WHEN n.dtype IN ('numeric', 'coordinate', 'unit')
+                  THEN COALESCE(m.medval, lk.lv)
+             WHEN n.dtype = 'date' THEN d.merged_date
+             ELSE lk.lv
+           END AS merged_value
+    FROM leftkeys lk
+    JOIN flags f USING (group_id, key_norm)
+    JOIN nr n ON n.group_id = lk.group_id
+    LEFT JOIN vote vt USING (group_id, key_norm)
+    LEFT JOIN med m USING (group_id, key_norm)
+    LEFT JOIN datecalc d USING (group_id, key_norm)
+)
+SELECT f.group_id, h.header, f.key_norm, f.merged_value
+FROM final f JOIN hdrs h ON h.group_id = f.group_id
+ORDER BY f.group_id, f.key_norm
+"""
+
 # IVF probe (nprobe=4 of 16): DuckDB re-derives the probe choice from the
 # persisted unit centroids (double cosine, ties by centroid id — matching
 # the engine's stable argsort) and the top-k over the probed partitions'
@@ -3092,6 +3325,7 @@ QUERIES: dict = {
     "kg_infogather_augment": q_kg_infogather_augment,
     "kg_link_quality": q_kg_link_quality,
     "kg_column_match": q_kg_column_match,
+    "kg_merge_columns": q_kg_merge_columns,
     "kg_clean_tables": q_kg_clean_tables,
     "kg_values_per_subject": q_kg_values_per_subject,
     "kg_header_frequencies": q_kg_header_frequencies,

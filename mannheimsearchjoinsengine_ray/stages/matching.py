@@ -237,6 +237,162 @@ def decide_object_matching(
 
 
 # ---------------------------------------------------------------------------
+# ExperimentalDuplicateResolver port: merge instance-matched columns
+# ---------------------------------------------------------------------------
+# Behavior parity with SJ/datafusion/ExperimentalDuplicateResolver.java
+# (reference flags it experimental; quirks kept and documented):
+#   * label matches are IGNORED for the output — the reference calls
+#     labelMatches.producePairs() (:38) but the only consumer
+#     (checkDuplicatesBasedOnLabelAndInstanceSim, :139-185) is never invoked;
+#     resolveDuplicate (:111-132) goes straight to mergeColumns.
+#   * median quirk (:342-354): sorted values pick index size/2 when even but
+#     size/2+1 when odd — one PAST the middle (for 3 values, the maximum).
+#   * date dead-store quirk (:356-372): the loop overwrites avgSeconds with
+#     each parsed right value instead of summing, so the "average" is the
+#     LAST successfully-parsed date's epoch seconds divided by (1+len(rights));
+#     parse failures keep the partial value (ParseException swallowed).
+#     Documented divergence: we render the result as an ISO timestamp string,
+#     not Java's locale/zone-dependent Date.toString().
+#   * voting (:322-340): first value to strictly EXCEED the running max wins
+#     (left seeded at 1), so ties keep the earliest-established winner.
+
+_NULL = "null"
+
+
+def _vote_first_to_exceed(left: str, rights: list[str]) -> str:
+    counts = {left: 1}
+    best, mx = left, 1
+    for r in rights:
+        c = counts.get(r, 0) + 1
+        counts[r] = c
+        if c > mx:
+            mx, best = c, r
+    return best
+
+
+def _median_quirk(left: str, rights: list[str]) -> str:
+    vals = sorted([float(left)] + [float(r) for r in rights])
+    n = len(vals)
+    idx = n // 2 if n % 2 == 0 else n // 2 + 1
+    return str(vals[idx])
+
+
+def _avg_seconds_deadstore(left: str, rights: list[str]) -> int:
+    from datetime import timezone
+
+    from ..functions.parsers import parse_date
+
+    def _epoch(d) -> int:              # TZ-free: parsed dates are naive UTC
+        return int(d.replace(tzinfo=timezone.utc).timestamp())
+
+    secs = 0
+    d = parse_date(left)
+    if d is None:                      # ParseException analog: keep partial
+        return int(secs / (1 + len(rights)))
+    secs = _epoch(d)
+    for s in rights:
+        d2 = parse_date(s)
+        if d2 is None:
+            break
+        secs = _epoch(d2)              # dead store kept: overwrites, not +=
+    return int(secs / (1 + len(rights)))
+
+
+def _merge_values(left: str, rights: list[str], data_type: str,
+                  cfg: PipelineConfig) -> str:
+    """One row of mergeColumns (:218-306): same → left, null-fill both ways,
+    else the per-dtype resolution strategy."""
+    from ..config import NumericResolution, StringResolution
+
+    if all(r == left for r in rights):
+        return left
+    if left == _NULL:
+        return next((r for r in rights if r != _NULL), _NULL)
+    if all(r == _NULL for r in rights):
+        return left
+    if data_type in ("string", "link"):
+        if cfg.string_resolution == StringResolution.longest:
+            best, mx = left, len(left)
+            for r in rights:           # strict > : left wins length ties
+                if len(r) > mx:
+                    mx, best = len(r), r
+            return best
+        if cfg.string_resolution == StringResolution.voting:
+            return _vote_first_to_exceed(left, rights)
+        return left
+    if data_type == "bool":
+        return left                    # reference TODO: keeps left (:259-262)
+    if data_type in ("numeric", "coordinate", "unit"):
+        try:
+            if cfg.numeric_resolution == NumericResolution.median:
+                return _median_quirk(left, rights)
+            if cfg.numeric_resolution == NumericResolution.average:
+                vals = [float(left)] + [float(r) for r in rights]
+                return str(sum(vals) / len(vals))
+            if cfg.numeric_resolution == NumericResolution.voting:
+                return _vote_first_to_exceed(left, rights)
+        except (TypeError, ValueError):
+            pass                       # exception swallowed → keep left
+        return left
+    if data_type == "date":
+        try:
+            secs = _avg_seconds_deadstore(left, rights)
+            from datetime import datetime, timezone
+
+            return datetime.fromtimestamp(secs, tz=timezone.utc) \
+                .strftime("%Y-%m-%d %H:%M:%S")
+        except (OverflowError, OSError, ValueError):
+            return left
+    return left
+
+
+def merge_duplicate_columns(
+    columns: list[ColumnRef],
+    instance_matches: dict[str, list[str]],
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    keys: set[str] | None = None,
+) -> tuple[list[ColumnRef], set[str]]:
+    """resolveDuplicates (:33-79): each instance-match group (left column +
+    matched partners, the shape ``decide_object_matching`` emits) merges into
+    ONE column — header/source concatenated with ``||``, dtype = left's,
+    key flag OR'd across the group — values resolved row-wise by
+    ``_merge_values``.  Unmatched columns pass through unchanged, in table
+    order after the merged ones (reference appends them the same way,
+    :71-76).  Returns (columns, merged-column-ids flagged as keys)."""
+    keys = keys or set()
+    by_id = {c.column_id: c for c in columns}
+    consumed: set[str] = set()
+    out: list[ColumnRef] = []
+    out_keys: set[str] = set()
+    for left_id in sorted(instance_matches):
+        right_ids = instance_matches[left_id]
+        if left_id not in by_id or any(r not in by_id for r in right_ids):
+            continue
+        left = by_id[left_id]
+        rights = [by_id[r] for r in right_ids]
+        consumed.add(left_id)
+        consumed.update(right_ids)
+        header = left.header + "".join("||" + r.header for r in rights)
+        source = left.source + "".join("||" + r.source for r in rights)
+        merged_vals: dict[int, str] = {}
+        for idx, lv in left.values.items():
+            rvs = [r.values.get(idx, _NULL) for r in rights]
+            merged_vals[idx] = _merge_values(lv, rvs, left.data_type, cfg)
+        merged = ColumnRef(column_id=left_id, header=header,
+                           data_type=left.data_type, source=source,
+                           values=merged_vals)
+        out.append(merged)
+        if left_id in keys or any(r in keys for r in right_ids):
+            out_keys.add(left_id)
+    for c in columns:
+        if c.column_id not in consumed:
+            out.append(c)
+            if c.column_id in keys:
+                out_keys.add(c.column_id)
+    return out, out_keys
+
+
+# ---------------------------------------------------------------------------
 # Dataset stage: score candidate column pairs
 # ---------------------------------------------------------------------------
 

@@ -161,6 +161,84 @@ class TestMatching:
         m3 = M.decide_object_matching({("a", "b"): 0.5}, {"a": "numeric", "b": "numeric"})
         assert m3 == {"a": ["b"]}
 
+    def test_merge_duplicate_columns(self):
+        """ExperimentalDuplicateResolver port
+        (SJ/datafusion/ExperimentalDuplicateResolver.java): matched columns
+        merge into one; quirks pinned — median picks PAST the middle for odd
+        counts (:342-354), the date 'average' is the last parsed right value's
+        seconds over (1+n) via the dead-store loop (:356-372), voting keeps
+        the earliest first-to-exceed winner (:322-340)."""
+        import dataclasses
+
+        from mannheimsearchjoinsengine_ray.config import (DEFAULT_CONFIG,
+                                                          NumericResolution,
+                                                          StringResolution)
+        from mannheimsearchjoinsengine_ray.stages.matching import (
+            ColumnRef, merge_duplicate_columns)
+
+        def col(cid, dtype, values, header=None):
+            return ColumnRef(column_id=cid, header=header or cid,
+                             data_type=dtype, source=f"src_{cid}",
+                             values=dict(enumerate(values)))
+
+        # string voting: same → left; left null → first non-null right;
+        # rights null → left; contested → first value to EXCEED max
+        cfg = dataclasses.replace(DEFAULT_CONFIG,
+                                  string_resolution=StringResolution.voting)
+        cols = [col("a", "string", ["x", "null", "p", "t1"]),
+                col("b", "string", ["x", "y", "null", "t2"]),
+                col("c", "string", ["x", "z", "null", "t2"]),
+                col("d", "numeric", ["1", "2", "3", "4"])]
+        out, out_keys = merge_duplicate_columns(
+            cols, {"a": ["b", "c"]}, cfg=cfg, keys={"b"})
+        assert [c.column_id for c in out] == ["a", "d"]
+        merged = out[0]
+        assert merged.header == "a||b||c" and merged.source == "src_a||src_b||src_c"
+        assert merged.values == {0: "x", 1: "y", 2: "p", 3: "t2"}
+        assert out_keys == {"a"}       # key flag ORs across the group
+        assert out[1].values[0] == "1"  # unmatched column untouched
+
+        # longest: strict > means left wins length ties
+        cfg_l = dataclasses.replace(DEFAULT_CONFIG,
+                                    string_resolution=StringResolution.longest)
+        out, _ = merge_duplicate_columns(
+            [col("a", "string", ["ab"]), col("b", "string", ["cd"]),
+             col("c", "string", ["efgh"])], {"a": ["b", "c"]}, cfg=cfg_l)
+        assert out[0].values[0] == "efgh"
+
+        # median quirk: 3 values → index 2 (the MAXIMUM), 4 values → index 2
+        cfg_m = dataclasses.replace(DEFAULT_CONFIG,
+                                    numeric_resolution=NumericResolution.median)
+        out, _ = merge_duplicate_columns(
+            [col("a", "numeric", ["1"]), col("b", "numeric", ["2"]),
+             col("c", "numeric", ["9"])], {"a": ["b", "c"]}, cfg=cfg_m)
+        assert out[0].values[0] == "9.0"
+        out, _ = merge_duplicate_columns(
+            [col("a", "numeric", ["1"]), col("b", "numeric", ["2"]),
+             col("c", "numeric", ["3"]), col("d", "numeric", ["9"])],
+            {"a": ["b", "c", "d"]}, cfg=cfg_m)
+        assert out[0].values[0] == "3.0"
+
+        # numeric average + unparseable → exception swallowed, left kept
+        cfg_avg = dataclasses.replace(
+            DEFAULT_CONFIG, numeric_resolution=NumericResolution.average)
+        out, _ = merge_duplicate_columns(
+            [col("a", "numeric", ["1", "1"]), col("b", "numeric", ["3", "oops"])],
+            {"a": ["b"]}, cfg=cfg_avg)
+        assert out[0].values == {0: "2.0", 1: "1"}
+
+        # date dead-store: last right's epoch seconds / (1+n), ISO-rendered
+        out, _ = merge_duplicate_columns(
+            [col("a", "date", ["1970-01-02"]), col("b", "date", ["1970-01-03"])],
+            {"a": ["b"]})
+        import datetime as _dt
+
+        d2 = int(_dt.datetime(1970, 1, 3,
+                              tzinfo=_dt.timezone.utc).timestamp())
+        want = _dt.datetime.fromtimestamp(d2 // 2, tz=_dt.timezone.utc) \
+            .strftime("%Y-%m-%d %H:%M:%S")
+        assert out[0].values[0] == want
+
     def test_partner_stealing(self):
         # greedy order-dependent matching (reference parity): whichever column
         # is processed first claims its above-threshold partners; the result
