@@ -2953,8 +2953,8 @@ ranked AS (
 med AS (
     SELECT r.group_id, r.key_norm, CAST(r.d AS VARCHAR) AS medval
     FROM ranked r JOIN numflag f USING (group_id, key_norm)
-    WHERE f.all_num AND r.rn = CASE WHEN f.sz % 2 = 0 THEN f.sz / 2 + 1
-                                    ELSE f.sz / 2 + 2 END
+    WHERE f.all_num AND r.rn = CASE WHEN f.sz % 2 = 0 THEN f.sz // 2 + 1
+                                    ELSE f.sz // 2 + 2 END
 ),
 bad AS (
     SELECT group_id, key_norm,
