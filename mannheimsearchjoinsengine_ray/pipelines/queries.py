@@ -59,19 +59,21 @@ def q_pricing_summary(sf_dir: str):
     return _round_df(out.to_pandas(), {"sum_qty": 2, "sum_price": 2, "avg_qty": 4})
 
 
-# broadcast the customer→nation lookup only below this row count; customer
-# scales LINEARLY with the fact tables (TPC-H sf100 ≈ 15M rows), so above
-# the guard the dimension chain runs as co-partitioned bucket joins
+# broadcast a dimension lookup only below this row count; orders/customer
+# scale LINEARLY with the fact tables (TPC-H sf100 ≈ 150M/15M rows), so
+# above the guard the dimension chain runs as co-partitioned bucket joins
 CUSTOMER_BROADCAST_LIMIT = 4_000_000
 
 
 def q_revenue_by_nation(sf_dir: str,
                         broadcast_limit: int = CUSTOMER_BROADCAST_LIMIT):
-    """The central multi-join aggregate: lineitem ⋈ orders (large-large hash
-    join) ⋈ customer ⋈ nation.  Scale: one shuffle join on orderkey;
-    customer⋈nation ships once via ray.put ONLY under the explicit guard —
-    above it, a second co-partitioned bucket join on custkey (both paths
-    hash-equal, exercised in tests)."""
+    """The central multi-join aggregate: lineitem ⋈ orders ⋈ customer ⋈
+    nation.  Scale: the dimension chain orders→customer→nation folds into
+    ONE orderkey→nation dict shipped once via ray.put when every dimension
+    fits the explicit guard — lineitem then streams through a single
+    map+partial-agg pass with NO shuffle of fact rows (the final exchange is
+    25 nation partials per block).  Above the guard: bucket_join on orderkey,
+    then on custkey (both paths hash-equal, exercised in tests)."""
     import ray
 
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -86,25 +88,28 @@ def q_revenue_by_nation(sf_dir: str,
     from ..stages.aggregates import two_phase_agg
     from ..stages.joins import bucket_join
 
-    joined = bucket_join(li, orders, left_on="l_orderkey",
-                         right_on="o_orderkey")
-
     nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     cust_ds = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    if cust_ds.count() <= broadcast_limit:
+    if orders.count() <= broadcast_limit and \
+            cust_ds.count() <= broadcast_limit:
         cust = cust_ds.to_pandas() \
             .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-        lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["n_name"])))
+        odf = orders.to_pandas().merge(cust[["c_custkey", "n_name"]],
+                                       left_on="o_custkey",
+                                       right_on="c_custkey")
+        lookup_ref = ray.put(dict(zip(odf["o_orderkey"], odf["n_name"])))
 
         def attach_nation(df: pd.DataFrame) -> pd.DataFrame:
             lookup = ray.get(lookup_ref)
-            df["n_name"] = df["o_custkey"].map(lookup)
-            return df[["n_name", "revenue"]]
+            return pd.DataFrame({"n_name": df["l_orderkey"].map(lookup),
+                                 "revenue": df["revenue"]})
 
-        tagged = joined.map_batches(attach_nation, batch_format="pandas")
+        tagged = li.map_batches(attach_nation, batch_format="pandas")
     else:
-        # nation (25 rows) stays a broadcast merge; customer goes through a
-        # co-partitioned join keyed on custkey
+        # nation (25 rows) stays a broadcast merge; orders and customer go
+        # through co-partitioned joins keyed on orderkey then custkey
+        joined = bucket_join(li, orders, left_on="l_orderkey",
+                             right_on="o_orderkey")
         nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
         cust_named = cust_ds.map_batches(
             lambda df: pd.DataFrame({

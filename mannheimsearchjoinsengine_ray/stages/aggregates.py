@@ -59,19 +59,25 @@ def dedupe_by_key(ds, key: str, num_buckets: int | None = 32):
                     batch_format="pandas")
 
 
+DRIVER_FINAL_BYTES = 32 << 20
+
+
 def two_phase_agg(ds, keys: list[str], spec: dict[str, tuple[str | None, str]],
-                  final_blocks: int | None = 8):
+                  final_blocks: int | None = 8,
+                  driver_final_bytes: int = DRIVER_FINAL_BYTES):
     """spec: output_name -> (input_column | None, fn); fn ∈ {sum,count,min,max,mean}.
 
     Returns a Dataset with columns keys + list(spec).
 
-    ``final_blocks``: partials are coalesced to this many blocks before the
-    final groupby — Ray's sort shuffle schedules one reduce task per input
-    block, so hundreds of tiny partial blocks would pay hundreds of task
-    overheads for kilobytes of data.  Pass ``None`` to derive the count from
-    the MEASURED partial bytes (materializes the partials) — the right mode
-    when the group-key cardinality is corpus-sized (e.g. per-subject counts)
-    and a fixed 8 would cap reduce parallelism.
+    Partials are always materialized (they are combiner output — bounded by
+    #blocks × per-block distinct keys, tiny for low-cardinality groupbys).
+    When the measured partial bytes fit ``driver_final_bytes`` the final
+    merge happens ON THE DRIVER in one pandas groupby — a repartition + sort
+    shuffle for kilobytes of partials costs ~2 s of fixed task overhead per
+    query at any cluster size.  Above the guard (corpus-cardinality keys):
+    ``final_blocks`` coalesces the partials before the distributed groupby —
+    Ray's sort shuffle schedules one reduce task per input block.  Pass
+    ``final_blocks=None`` to derive the count from measured partial bytes.
     """
     sum_cols: dict[str, str] = {}
     min_cols: dict[str, str] = {}
@@ -110,9 +116,32 @@ def two_phase_agg(ds, keys: list[str], spec: dict[str, tuple[str | None, str]],
 
     from ray.data.aggregate import Max, Min, Sum
 
-    partials = ds.map_batches(partial, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pandas").materialize()
+    if partials.size_bytes() <= driver_final_bytes:
+        import ray.data as rd
+
+        pdf = partials.to_pandas()
+        if pdf.empty:
+            return rd.from_pandas(pd.DataFrame(columns=keys + list(spec)))
+        g = pdf.groupby(keys, sort=False, dropna=False)
+        parts = {}
+        for out in sum_cols:
+            parts[out] = g[out].sum()
+        for out in min_cols:
+            parts[out] = g[out].min()
+        for out in max_cols:
+            parts[out] = g[out].max()
+        for out in mean_cols:
+            parts[f"__sum_{out}"] = g[f"__sum_{out}"].sum()
+        if need_count:
+            parts["__n"] = g["__n"].sum()
+        final = pd.DataFrame(parts).reset_index()
+        for out in mean_cols:
+            final[out] = final[f"__sum_{out}"] / final["__n"]
+        for out in count_names:
+            final[out] = final["__n"]
+        return rd.from_pandas(final[keys + list(spec)])
     if final_blocks is None:
-        partials = partials.materialize()
         final_blocks = _auto_block_count(partials)
     if final_blocks:
         partials = partials.repartition(final_blocks)
