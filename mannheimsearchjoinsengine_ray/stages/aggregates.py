@@ -29,23 +29,40 @@ def _auto_block_count(ds, target_bytes: int = 64 << 20,
     return int(np.clip(b, lo, hi))
 
 
-def dedupe_by_key(ds, key: str, num_buckets: int | None = 32):
-    """Global distinct-by-key with a LOW-cardinality shuffle: per-batch
-    drop_duplicates (map-side combine) → bucket = hash(key) % B →
-    groupby(bucket).map_groups(drop_duplicates).  B groups regardless of key
-    cardinality — the per-group overhead of a high-cardinality groupby never
-    appears.  First row per key wins within a bucket (deterministic given
-    deterministic upstream order per key).  ``num_buckets=None`` derives B
-    from the measured per-batch-deduped size (materializes that pass)."""
+def dedupe_by_key(ds, key: str, num_buckets: int | None = 32,
+                  driver_final_bytes: int | None = None):
+    """Global distinct-by-key.  The per-batch drop_duplicates pass (map-side
+    combine) always runs and is materialized to MEASURE the surviving set:
+
+    * under the driver guard (default ``DRIVER_FINAL_BYTES``): one pandas
+      drop_duplicates on the driver, split back into ``num_buckets`` blocks
+      WITHOUT a shuffle — the bucket sort-exchange costs ~2 s of fixed task
+      overhead for kilobytes of distinct rows (measured on distinct_mentions:
+      2.5 s → 0.1 s for 1000 distinct strings).  First row per key in global
+      block order wins — the same first-wins contract as the bucket path.
+    * above it: bucket = hash(key) % B → groupby(bucket).map_groups
+      (drop_duplicates).  B groups regardless of key cardinality — the
+      per-group overhead of a high-cardinality groupby never appears.
+      ``num_buckets=None`` derives B from the measured bytes."""
     import numpy as np
+
+    import ray.data as rd
 
     from ..functions.hashing import hash64
 
+    if driver_final_bytes is None:
+        driver_final_bytes = DRIVER_FINAL_BYTES
+    deduped = ds.map_batches(lambda df: df.drop_duplicates(key),
+                             batch_format="pandas").materialize()
+    if deduped.size_bytes() <= driver_final_bytes:
+        out = deduped.to_pandas().drop_duplicates(key).reset_index(drop=True)
+        if out.empty:
+            return rd.from_pandas(out)
+        n = int(min(num_buckets or 32, max(1, len(out))))
+        return rd.from_pandas(
+            [c.reset_index(drop=True) for c in np.array_split(out, n)])
     if num_buckets is None:
-        deduped = ds.map_batches(lambda df: df.drop_duplicates(key),
-                                 batch_format="pandas").materialize()
         num_buckets = _auto_block_count(deduped)
-        ds = deduped  # second drop_duplicates below is a no-op but harmless
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(key)
@@ -53,7 +70,7 @@ def dedupe_by_key(ds, key: str, num_buckets: int | None = 32):
                           % np.uint64(num_buckets)).astype("int64")
         return df
 
-    return ds.map_batches(local, batch_format="pandas") \
+    return deduped.map_batches(local, batch_format="pandas") \
         .groupby("__bucket") \
         .map_groups(lambda g: g.drop_duplicates(key).drop(columns="__bucket"),
                     batch_format="pandas")
