@@ -78,7 +78,8 @@ def extract_text_ds(pages_path: str):
 
 def materialize_triples(triples, out_dir: str,
                         num_partitions: int = 16,
-                        fingerprint: str = "") -> list[dict]:
+                        fingerprint: str = "",
+                        run_compression: str = "uncompressed") -> list[dict]:
     """Write triples into hash(subj) partitions, sorted, atomic, manifested.
 
     Two-stage DISK exchange instead of Ray's sort shuffle (which cost 7.1 s
@@ -92,6 +93,13 @@ def materialize_triples(triples, out_dir: str,
       via :func:`materialize.write_partition` (sort + atomic rename +
       manifest).
 
+    Run files are Arrow IPC, uncompressed by default — they live only
+    between the two stages, and parquet encode/decode was the dominant cost
+    of both (stage A 2.2→1.4 s, stage B reads 4× faster at sf0.1;
+    BASELINE.md #33).  Pass ``run_compression="lz4"`` to trade ~35 % stage
+    speed for 3.3× smaller spill when the runs directory is remote/shared
+    storage and network bytes dominate.
+
     On a multi-node cluster the runs directory lives on shared storage — the
     exchange is the external-shuffle layout (map-side spill, reduce-side
     merge), so a lost node re-runs only its map tasks and the merge fan-in
@@ -100,7 +108,7 @@ def materialize_triples(triples, out_dir: str,
     import shutil as _shutil
     import uuid
 
-    import pyarrow.parquet as pq
+    import pyarrow.feather as feather
     import ray.data as rd
 
     runs_dir = os.path.join(out_dir, "_runs")
@@ -109,7 +117,6 @@ def materialize_triples(triples, out_dir: str,
 
     def split_write(batch: pa.Table) -> pa.Table:
         import numpy as np
-        import pyarrow.compute as pc
 
         from ..functions.hashing import hash64
 
@@ -130,9 +137,10 @@ def materialize_triples(triples, out_dir: str,
             p = int(sorted_part[s])
             pdir = os.path.join(runs_dir, f"part={p:05d}")
             os.makedirs(pdir, exist_ok=True)
-            tmp = os.path.join(pdir, f"run-{run_id}.parquet.tmp")
-            pq.write_table(sorted_tbl.slice(s, e - s), tmp)
-            os.replace(tmp, os.path.join(pdir, f"run-{run_id}.parquet"))
+            tmp = os.path.join(pdir, f"run-{run_id}.arrow.tmp")
+            feather.write_feather(sorted_tbl.slice(s, e - s), tmp,
+                                  compression=run_compression)
+            os.replace(tmp, os.path.join(pdir, f"run-{run_id}.arrow"))
             parts_out.append(p)
             rows_out.append(int(e - s))
         return pa.table({"partition": pa.array(parts_out, pa.int64()),
@@ -148,8 +156,8 @@ def materialize_triples(triples, out_dir: str,
         for p in batch.column("p").to_pylist():
             pdir = os.path.join(runs_dir, f"part={p:05d}")
             files = sorted(os.path.join(pdir, f) for f in os.listdir(pdir)
-                           if f.endswith(".parquet"))
-            table = pa.concat_tables([pq.read_table(f) for f in files])
+                           if f.endswith(".arrow"))
+            table = pa.concat_tables([feather.read_table(f) for f in files])
             manifest = mat.write_partition(table, out_dir, p, fingerprint)
             parts_out.append(manifest["partition"])
             rows_out.append(manifest["rows"])
