@@ -92,17 +92,28 @@ def q_revenue_by_nation(sf_dir: str,
     cust_ds = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     if orders.count() <= broadcast_limit and \
             cust_ds.count() <= broadcast_limit:
+        # FLAT-COLUMNAR broadcast (CLAUDE.md rule): sorted orderkey array +
+        # int nation codes — ray.get of numpy arrays is plasma zero-copy per
+        # worker, and the per-batch lookup is one searchsorted, not a python
+        # dict unpickle + Series.map per task
         cust = cust_ds.to_pandas() \
             .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
         odf = orders.to_pandas().merge(cust[["c_custkey", "n_name"]],
                                        left_on="o_custkey",
-                                       right_on="c_custkey")
-        lookup_ref = ray.put(dict(zip(odf["o_orderkey"], odf["n_name"])))
+                                       right_on="c_custkey") \
+            .sort_values("o_orderkey")
+        codes, names = pd.factorize(odf["n_name"])
+        keys_ref = ray.put(odf["o_orderkey"].to_numpy(dtype=np.int64))
+        codes_ref = ray.put(codes.astype(np.int32))
+        names_arr = np.asarray(names, dtype=object)
 
         def attach_nation(df: pd.DataFrame) -> pd.DataFrame:
-            lookup = ray.get(lookup_ref)
-            return pd.DataFrame({"n_name": df["l_orderkey"].map(lookup),
-                                 "revenue": df["revenue"]})
+            keys, cds = ray.get(keys_ref), ray.get(codes_ref)
+            q = df["l_orderkey"].to_numpy()
+            idx = np.searchsorted(keys, q).clip(0, len(keys) - 1)
+            hit = keys[idx] == q          # inner-join parity: drop misses
+            return pd.DataFrame({"n_name": names_arr[cds[idx[hit]]],
+                                 "revenue": df["revenue"].to_numpy()[hit]})
 
         tagged = li.map_batches(attach_nation, batch_format="pandas")
     else:
