@@ -455,17 +455,41 @@ def q_distinct_brands(sf_dir: str):
     return pd.DataFrame({"p_brand": brands})
 
 
-def q_top_orders_per_segment(sf_dir: str):
+def q_top_orders_per_segment(sf_dir: str,
+                             broadcast_limit: int = CUSTOMER_BROADCAST_LIMIT):
     """Windowed top-k per group (ROW_NUMBER() OVER (PARTITION BY …) analog,
     the reference's per-table rank sort): top-3 orders by price per market
-    segment.  Scale: bucket join on custkey, then segments are a CONSTANT
-    group count — per-segment vectorized sort+head inside one shuffle."""
+    segment.  Scale: the custkey→segment lookup ships once as FLAT-COLUMNAR
+    numpy arrays under the guard (bucket join above it); segments are a
+    CONSTANT group count, so the ≤3-per-(segment, batch) partials finish on
+    the driver under the byte guard — zero shuffles on the common path."""
+    import ray
+
     from ..stages.joins import bucket_join
 
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    joined = bucket_join(orders, cust, left_on="o_custkey",
-                         right_on="c_custkey")
+    if cust.count() <= broadcast_limit:
+        cdf = cust.to_pandas().sort_values("c_custkey")
+        codes, segs = pd.factorize(cdf["c_mktsegment"])
+        keys_ref = ray.put(cdf["c_custkey"].to_numpy(dtype=np.int64))
+        codes_ref = ray.put(codes.astype(np.int32))
+        seg_arr = np.asarray(segs, dtype=object)
+
+        def attach_seg(df: pd.DataFrame) -> pd.DataFrame:
+            keys, cds = ray.get(keys_ref), ray.get(codes_ref)
+            q = df["o_custkey"].to_numpy()
+            idx = np.searchsorted(keys, q).clip(0, len(keys) - 1)
+            hit = keys[idx] == q          # inner-join parity
+            return pd.DataFrame({
+                "c_mktsegment": seg_arr[cds[idx[hit]]],
+                "o_orderkey": df["o_orderkey"].to_numpy()[hit],
+                "o_totalprice": df["o_totalprice"].to_numpy()[hit]})
+
+        joined = orders.map_batches(attach_seg, batch_format="pandas")
+    else:
+        joined = bucket_join(orders, cust, left_on="o_custkey",
+                             right_on="c_custkey")
 
     def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
         # map-side combine: ≤3 rows per (segment, batch) reach the shuffle,
@@ -481,9 +505,18 @@ def q_top_orders_per_segment(sf_dir: str):
         g["rk"] = np.arange(1, len(g) + 1, dtype="int64")
         return g[["c_mktsegment", "rk", "o_orderkey", "o_totalprice"]]
 
-    out = joined.map_batches(partial_topk, batch_format="pandas") \
-        .groupby("c_mktsegment").map_groups(topk, batch_format="pandas") \
-        .to_pandas()
+    from ..stages.aggregates import DRIVER_FINAL_BYTES
+
+    partials = joined.map_batches(partial_topk, batch_format="pandas") \
+        .materialize()
+    if partials.size_bytes() <= DRIVER_FINAL_BYTES:
+        pdf = partials.to_pandas()
+        out = pd.concat([topk(g) for _, g in
+                         pdf.groupby("c_mktsegment", sort=True)],
+                        ignore_index=True)
+    else:
+        out = partials.groupby("c_mktsegment") \
+            .map_groups(topk, batch_format="pandas").to_pandas()
     out["o_totalprice"] = out["o_totalprice"].round(2)
     return out.astype({"o_orderkey": "int64"})
 
