@@ -54,6 +54,15 @@ def dedupe_by_key(ds, key: str, num_buckets: int | None = 32,
         driver_final_bytes = DRIVER_FINAL_BYTES
     deduped = ds.map_batches(lambda df: df.drop_duplicates(key),
                              batch_format="pandas").materialize()
+    if deduped.num_blocks() > 64:
+        # second combine level: per-block distinct sets repeat hot keys once
+        # per block, so at large block counts the driver pull (and the
+        # bucket exchange above the guard) would carry blocks × distinct
+        # rows — bundle ~32 partial blocks per task and dedupe again
+        rows_per_block = max(1, deduped.count() // deduped.num_blocks())
+        deduped = deduped.map_batches(
+            lambda df: df.drop_duplicates(key), batch_format="pandas",
+            batch_size=max(4096, rows_per_block * 32)).materialize()
     if deduped.size_bytes() <= driver_final_bytes:
         out = deduped.to_pandas().drop_duplicates(key).reset_index(drop=True)
         if out.empty:
