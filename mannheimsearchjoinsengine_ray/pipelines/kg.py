@@ -96,19 +96,25 @@ def materialize_triples(triples, out_dir: str,
     Run files are Arrow IPC, uncompressed by default — they live only
     between the two stages, and parquet encode/decode was the dominant cost
     of both (stage A 2.2→1.4 s, stage B reads 4× faster at sf0.1;
-    BASELINE.md #33).  Pass ``run_compression="lz4"`` to trade ~35 % stage
-    speed for 3.3× smaller spill when the runs directory is remote/shared
-    storage and network bytes dominate.
+    BASELINE.md #33).  Each split task writes ONE file holding one record
+    batch per partition, with the partition→batch map in the schema
+    metadata — per-(task, partition) files put blocks × partitions creates
+    on the filesystem (65k at the 128k-page scaling input; the create/rename
+    metadata ops dominated stage A on ext4).  Stage B memory-maps each run
+    and reads only its partition's batch (zero-copy, no decode).  Pass
+    ``run_compression="lz4"`` to trade stage speed for ~3× smaller spill
+    when the runs directory is remote/shared storage and network bytes
+    dominate.
 
     On a multi-node cluster the runs directory lives on shared storage — the
     exchange is the external-shuffle layout (map-side spill, reduce-side
     merge), so a lost node re-runs only its map tasks and the merge fan-in
     per partition is bounded by the shard's block count, not the corpus.
     """
+    import json as _json
     import shutil as _shutil
     import uuid
 
-    import pyarrow.feather as feather
     import ray.data as rd
 
     runs_dir = os.path.join(out_dir, "_runs")
@@ -120,29 +126,38 @@ def materialize_triples(triples, out_dir: str,
 
         from ..functions.hashing import hash64
 
+        # constructed per task: IpcWriteOptions is not picklable
+        ipc_opts = pa.ipc.IpcWriteOptions(
+            compression=None if run_compression == "uncompressed"
+            else run_compression)
+
         if batch.num_rows == 0:
             return pa.table({"partition": pa.array([], pa.int64()),
                              "rows": pa.array([], pa.int64())})
         part = (hash64(batch.column("subj").to_numpy(zero_copy_only=False))
                 % num_partitions).astype("int64")
         order = np.argsort(part, kind="stable")
-        sorted_tbl = batch.take(pa.array(order))
+        sorted_tbl = batch.take(pa.array(order)).combine_chunks()
         sorted_part = part[order]
         bounds = np.flatnonzero(np.diff(sorted_part)) + 1
         starts = np.concatenate(([0], bounds))
         ends = np.concatenate((bounds, [len(sorted_part)]))
-        run_id = uuid.uuid4().hex
-        parts_out, rows_out = [], []
-        for s, e in zip(starts, ends):
-            p = int(sorted_part[s])
-            pdir = os.path.join(runs_dir, f"part={p:05d}")
-            os.makedirs(pdir, exist_ok=True)
-            tmp = os.path.join(pdir, f"run-{run_id}.arrow.tmp")
-            feather.write_feather(sorted_tbl.slice(s, e - s), tmp,
-                                  compression=run_compression)
-            os.replace(tmp, os.path.join(pdir, f"run-{run_id}.arrow"))
-            parts_out.append(p)
-            rows_out.append(int(e - s))
+        parts_out = [int(sorted_part[s]) for s in starts]
+        rows_out = [int(e - s) for s, e in zip(starts, ends)]
+        # one file per task: partition p is record batch batch_map[p]
+        batch_map = {str(p): i for i, p in enumerate(parts_out)}
+        schema = sorted_tbl.schema.with_metadata(
+            {b"parts": _json.dumps(batch_map).encode()})
+        tmp = os.path.join(runs_dir, f"run-{uuid.uuid4().hex}.arrow.tmp")
+        with pa.OSFile(tmp, "wb") as fh:
+            with pa.ipc.new_file(fh, schema, options=ipc_opts) as writer:
+                for s, e in zip(starts, ends):
+                    # combine_chunks above ⇒ exactly one batch per slice,
+                    # keeping batch index == batch_map position
+                    rbs = sorted_tbl.slice(s, e - s).to_batches()
+                    assert len(rbs) == 1, len(rbs)
+                    writer.write_batch(rbs[0])
+        os.replace(tmp, tmp[:-4])
         return pa.table({"partition": pa.array(parts_out, pa.int64()),
                          "rows": pa.array(rows_out, pa.int64())})
 
@@ -150,14 +165,21 @@ def materialize_triples(triples, out_dir: str,
     counts = triples.map_batches(split_write, batch_format="pyarrow",
                                  batch_size=None).take_all()
     live_parts = sorted({int(c["partition"]) for c in counts})
+    run_files = sorted(os.path.join(runs_dir, f) for f in os.listdir(runs_dir)
+                       if f.endswith(".arrow"))
 
     def finalize(batch: pa.Table) -> pa.Table:
         parts_out, rows_out = [], []
         for p in batch.column("p").to_pylist():
-            pdir = os.path.join(runs_dir, f"part={p:05d}")
-            files = sorted(os.path.join(pdir, f) for f in os.listdir(pdir)
-                           if f.endswith(".arrow"))
-            table = pa.concat_tables([feather.read_table(f) for f in files])
+            chunks = []
+            for f in run_files:
+                with pa.memory_map(f) as src:
+                    rdr = pa.ipc.open_file(src)
+                    bm = _json.loads(rdr.schema.metadata[b"parts"])
+                    i = bm.get(str(p))
+                    if i is not None:
+                        chunks.append(pa.Table.from_batches([rdr.get_batch(i)]))
+            table = pa.concat_tables(chunks)
             manifest = mat.write_partition(table, out_dir, p, fingerprint)
             parts_out.append(manifest["partition"])
             rows_out.append(manifest["rows"])
