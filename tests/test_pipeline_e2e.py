@@ -196,3 +196,60 @@ def test_extractor_adversarial_html(ray_session):
         TableExtractor(), batch_format="pyarrow").to_pandas()
     # the huge-cell table is structurally valid (3 cols x 6 rows) and survives
     assert (out["url"] == "u4").any()
+
+
+def test_fast_feed_equivalence(ray_session, corpus_dir):
+    """The fast HTML event feeder must produce the same (text, tables) as
+    stdlib HTMLParser.feed on every corpus page AND an adversarial battery
+    (quoted '>' in attrs, cdata content, bogus comments, half tags at EOF,
+    charref edge cases, marked sections, self-closing variants)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mannheimsearchjoinsengine_ray.stages.extract import parse_page_full
+
+    nasty = [
+        "", "<", ">", "plain text &amp; more",
+        "<p>a &lt; b &#65; &#x42; &notit; x</p>",
+        "<table><tr><td>1</td><td>2</td></tr></table>",
+        "<TABLE><TR><TH>H</TH></TR><tr><td>v&nbsp;1</td></tr></TABLE>",
+        "<table><tr><td title=\"a>b\">x</td></tr></table>",
+        "<table><tr><td title='it>s'>y</td></tr></table>",
+        "<table><tr><td data-x=bare>z</td></tr></table>",
+        "<script>var x = '<table><tr><td>no</td></tr></table>';</script>"
+        "<p>after</p>",
+        "<style>p:before{content:'<td>'}</style><div>d</div>",
+        "<!-- comment with <table><tr><td>no</td></tr></table> --><p>ok</p>",
+        "<p>unclosed <table><tr><td>cell",
+        "<br/><br / ><hr/>text",
+        "<p>a<b>c</p", "<p>x</p><!doctype html><p>y</p>",
+        "<?php echo '<td>no</td>'; ?><p>pi</p>",
+        "</><p>after empty endtag</p>",
+        "</ bogus ><p>bogus end</p>",
+        "<p>amp at end &", "<p>amp &am", "<p>tag at end <",
+        "<p>half tag <div", "<p>half end </div",
+        "<div class='a' id=b>in</div>",
+        "<table><tr><td>&#9731;&#x2603;</td></tr></table>",
+        "<table><tbody><tr><td>tb</td></tr></tbody></table>",
+        "<table><tr><td><table><tr><td>nested</td></tr></table></td></tr>"
+        "</table>",
+        "a<3 and b<4 but <i>it</i>",
+        "<p>enti&ampty</p>", "<p>&unknownref; stays</p>",
+        "<td>orphan cell</td>", "<script>no close",
+        "<!--unclosed comment <p>gone</p>",
+        "<![CDATA[ raw <td>x</td> ]]><p>after cdata</p>",
+        "<p >spaced</p >", "<p/>selfclose-p",
+        "text &#; weird", "&#x; y", "&; z",
+    ]
+    for h in nasty:
+        assert parse_page_full(h, use_fast=True) == \
+            parse_page_full(h, use_fast=False), h[:60]
+    npages = 0
+    for f in sorted(glob.glob(corpus_dir + "/*.parquet")):
+        t = pq.read_table(f, columns=["html"])
+        for h in t.column("html").to_pylist():
+            assert parse_page_full(h, use_fast=True) == \
+                parse_page_full(h, use_fast=False)
+            npages += 1
+    assert npages >= 100
