@@ -648,6 +648,27 @@ def q_exact_dedup(sf_dir: str):
     return out[["text", "keep_id", "n_copies"]]
 
 
+def q_substring_dedup(sf_dir: str):
+    """Substring (word 5-gram span) dedup — Lee et al. 2021: every 5-gram
+    occurring ≥2 times corpus-wide (within- and cross-document occurrences
+    both count) marks its span; covered words are removed and the remainder
+    re-joins with single spaces.  Scale shape: the count exchange carries
+    (hash, partial count) only, the duplicated set ships flat-columnar under
+    a byte guard (bucket semi join above it).
+
+    SQL-oracled: DuckDB re-derives the gram table by list slicing, the
+    duplicated set by HAVING COUNT(*)>=2 over gram STRINGS (the engine
+    groups by 64-bit gram hashes — a collision would fail this compare),
+    span coverage by position-range expansion, and the cleaned text by
+    ordered string_agg."""
+    from ..stages.dedup import remove_duplicate_spans
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = remove_duplicate_spans(docs, k=5, min_count=2).to_pandas()
+    return out.sort_values("id").reset_index(drop=True) \
+        .astype({"id": "int64", "total_grams": "int64", "dup_grams": "int64"})
+
+
 def q_quality_filter(sf_dir: str):
     """Length/language quality gate + per-source stats (C4-style filter)."""
     from ..stages.aggregates import two_phase_agg
@@ -2921,6 +2942,49 @@ FROM pairs p
 ORDER BY p.left_col, p.right_col
 """
 
+# Substring (word 5-gram span) dedup: grams by list slicing, duplicated set
+# over gram STRINGS, coverage by range expansion, clean text by ordered agg
+ORACLE_SQL["substring_dedup"] = """
+WITH d AS MATERIALIZED (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+g AS MATERIALIZED (
+    SELECT doc_id, CAST(i AS BIGINT) AS i,
+           array_to_string(ws[i:i+4], ' ') AS gram
+    FROM d, UNNEST(range(1, len(ws) - 5 + 2)) AS t(i)
+),
+dupg AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+duppos AS (SELECT g.doc_id, g.i FROM g JOIN dupg USING (gram)),
+cover AS (
+    SELECT DISTINCT dp.doc_id, CAST(j AS BIGINT) AS j
+    FROM duppos dp, UNNEST(range(dp.i, dp.i + 5)) AS u(j)
+),
+w AS (
+    SELECT doc_id, CAST(j AS BIGINT) AS j, ws[j] AS word
+    FROM d, UNNEST(range(1, len(ws) + 1)) AS t(j)
+),
+kept AS (
+    SELECT w.doc_id, w.j, w.word
+    FROM w LEFT JOIN cover c ON c.doc_id = w.doc_id AND c.j = w.j
+    WHERE c.j IS NULL
+),
+clean AS (
+    SELECT doc_id, string_agg(word, ' ' ORDER BY j) AS clean_text
+    FROM kept GROUP BY doc_id
+),
+dcount AS (
+    SELECT doc_id, COUNT(*) AS dup_grams FROM duppos GROUP BY doc_id
+)
+SELECT d.doc_id AS id,
+       GREATEST(len(d.ws) - 5 + 1, 0) AS total_grams,
+       COALESCE(dc.dup_grams, 0) AS dup_grams,
+       COALESCE(cl.clean_text, '') AS clean_text
+FROM d
+LEFT JOIN dcount dc ON dc.doc_id = d.doc_id
+LEFT JOIN clean cl ON cl.doc_id = d.doc_id
+ORDER BY id
+"""
+
 # ExperimentalDuplicateResolver merge: DuckDB recomputes EVERY merged value
 # from the persisted group composition (independently verified by the
 # kg_column_match decision replay) and per-cell values — branch dispatch,
@@ -3352,6 +3416,7 @@ QUERIES: dict = {
     "premium_or_urgent_orders": q_premium_or_urgent_orders,
     "token_counts": q_token_counts,
     "exact_dedup": q_exact_dedup,
+    "substring_dedup": q_substring_dedup,
     "quality_filter": q_quality_filter,
     "language_id": q_language_id,
     "ann_topk": q_ann_topk,

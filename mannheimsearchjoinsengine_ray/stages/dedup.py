@@ -51,8 +51,150 @@ def exact_dedup(docs_ds, id_col: str = "doc_id", text_col: str = "text"):
 
 
 # ---------------------------------------------------------------------------
-# MinHash-LSH near-dedup
+# Substring (word n-gram span) dedup — Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better": find every word k-gram that
+# occurs >= min_count times CORPUS-WIDE (within- and cross-document
+# occurrences both count) and drop the words covered by any duplicated span.
 # ---------------------------------------------------------------------------
+
+SPAN_BROADCAST_BYTES = 64 << 20
+
+
+def _doc_gram_hashes(words: list[str], k: int) -> np.ndarray:
+    """uint64 hash per k-gram start position (len-k+1 entries, may be 0)."""
+    n = len(words) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    grams = [" ".join(words[i:i + k]) for i in range(n)]
+    return hashing.hash64(grams)
+
+
+def duplicated_gram_hashes(docs_ds, k: int = 5, min_count: int = 2,
+                           text_col: str = "text"):
+    """Global k-gram occurrence counts → Dataset of (gram_hash, n) rows with
+    n >= min_count.  Scale shape: the exchange carries (hash, partial count)
+    with map-side combine — gram TEXT never rides a shuffle; two_phase_agg
+    keeps corpus-cardinality counts distributed above its driver guard."""
+    from .aggregates import two_phase_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hs = [
+            _doc_gram_hashes(t.split(" "), k)
+            for t in batch.column(text_col).to_pylist()
+        ]
+        flat = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        return pa.table({"gram_hash": pa.array(flat.astype("int64"))})
+
+    counts = two_phase_agg(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        ["gram_hash"], {"n": (None, "count")}, final_blocks=None)
+    return counts.filter(lambda r: r["n"] >= min_count)
+
+
+def remove_duplicate_spans(docs_ds, k: int = 5, min_count: int = 2,
+                           id_col: str = "doc_id", text_col: str = "text",
+                           broadcast_bytes: int = SPAN_BROADCAST_BYTES):
+    """→ (id, total_grams, dup_grams, clean_text): words covered by any
+    duplicated k-gram span are removed, the remainder re-joins with single
+    spaces.  The duplicated-hash set ships FLAT-COLUMNAR (one sorted uint64
+    array via ray.put, membership = searchsorted per batch) under the byte
+    guard; above it the set attaches through a co-partitioned bucket semi
+    join on (doc, position) gram rows.  Both paths equivalence-tested."""
+    import ray
+    import ray.data as rd
+
+    docs_ds = docs_ds.materialize()
+    dup = duplicated_gram_hashes(docs_ds, k, min_count, text_col) \
+        .materialize()
+
+    def stats_from_mask(doc_id, words: list[str], dup_pos: np.ndarray):
+        n_grams = max(len(words) - k + 1, 0)
+        covered = np.zeros(len(words), dtype=bool)
+        for p in dup_pos:
+            covered[p:p + k] = True
+        clean = " ".join(w for w, c in zip(words, covered) if not c)
+        return {"id": doc_id, "total_grams": n_grams,
+                "dup_grams": int(len(dup_pos)), "clean_text": clean}
+
+    if dup.size_bytes() <= broadcast_bytes:
+        arr = np.sort(dup.to_pandas()["gram_hash"].to_numpy()
+                      .astype("int64").view(np.uint64))
+        dup_ref = ray.put(arr)
+
+        def clean_batch(batch: pa.Table) -> pd.DataFrame:
+            hashes = ray.get(dup_ref)
+            rows = []
+            for doc_id, t in zip(batch.column(id_col).to_pylist(),
+                                 batch.column(text_col).to_pylist()):
+                words = t.split(" ")
+                gh = _doc_gram_hashes(words, k)
+                if len(gh):
+                    idx = np.searchsorted(hashes, gh) \
+                        .clip(0, max(len(hashes) - 1, 0))
+                    dup_pos = np.flatnonzero(
+                        hashes[idx] == gh) if len(hashes) else \
+                        np.empty(0, dtype=np.int64)
+                else:
+                    dup_pos = np.empty(0, dtype=np.int64)
+                rows.append(stats_from_mask(doc_id, words, dup_pos))
+            return pd.DataFrame(rows, columns=["id", "total_grams",
+                                               "dup_grams", "clean_text"])
+
+        return docs_ds.map_batches(clean_batch, batch_format="pyarrow")
+
+    # scale path: explode (doc, pos, gram_hash), SEMI-filter against the
+    # duplicated set, co-locate each doc's dup positions with one bucket
+    # exchange, then join the position lists back onto the docs
+    from ..functions.hashing import hash64
+    from .joins import bucket_join, bucket_semi_join
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        ids, pos, ghs = [], [], []
+        for doc_id, t in zip(batch.column(id_col).to_pylist(),
+                             batch.column(text_col).to_pylist()):
+            gh = _doc_gram_hashes(t.split(" "), k)
+            ids.extend([doc_id] * len(gh))
+            pos.extend(range(len(gh)))
+            ghs.extend(gh.astype("int64").tolist())
+        return pd.DataFrame({"__doc": ids, "__pos": pos, "gram_hash": ghs})
+
+    gram_rows = docs_ds.map_batches(explode, batch_format="pyarrow")
+    dup_rows = bucket_semi_join(gram_rows,
+                                dup.select_columns(["gram_hash"]),
+                                "gram_hash", "gram_hash")
+    n_buckets = 32
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["__doc", "__pos"]].copy()
+        df["__bucket"] = (hash64(df["__doc"].astype(str).to_numpy())
+                          % np.uint64(n_buckets)).astype("int64")
+        return df
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("__doc")["__pos"].agg(
+            lambda s: ",".join(map(str, sorted(s))))
+        return out.rename("__dups").rename_axis("__doc").reset_index()
+
+    per_doc = dup_rows.map_batches(bucketize, batch_format="pandas") \
+        .groupby("__bucket").map_groups(collect, batch_format="pandas")
+    joined = bucket_join(
+        docs_ds.map_batches(
+            lambda df: df[[id_col, text_col]], batch_format="pandas"),
+        per_doc, id_col, "__doc", how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, t, dups in zip(df[id_col], df[text_col], df["__dups"]):
+            words = t.split(" ")
+            dup_pos = np.array([int(x) for x in dups.split(",")],
+                               dtype=np.int64) \
+                if isinstance(dups, str) and dups else \
+                np.empty(0, dtype=np.int64)
+            rows.append(stats_from_mask(doc_id, words, dup_pos))
+        return pd.DataFrame(rows, columns=["id", "total_grams",
+                                           "dup_grams", "clean_text"])
+
+    return joined.map_batches(finish, batch_format="pandas")
 
 class DocShingler:
     """(id, text) → LSH band rows over word k-shingles.  Stateful stage:

@@ -366,3 +366,42 @@ def test_assign_components_ds_matches_local(ray_session, planted_docs):
         ds = ds.sort_values("id").reset_index(drop=True)
         assert dict(zip(ds["id"], ds["component"])) == \
             dict(zip(local["id"], local["component"]))
+
+
+def test_remove_duplicate_spans_planted(ray_session):
+    """A 5-gram repeated across two docs is removed from both; unique text
+    survives; short docs (<k words) pass through untouched."""
+    import ray.data as rd
+
+    span = "alpha beta gamma delta epsilon"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [f"one two {span} three four",
+                 f"five six {span} seven eight",
+                 "totally unique words here nine ten eleven",
+                 "tiny doc"],
+    })
+    out = D.remove_duplicate_spans(rd.from_pandas(docs), k=5) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert out.loc[0, "clean_text"] == "one two three four"
+    assert out.loc[1, "clean_text"] == "five six seven eight"
+    assert out.loc[0, "dup_grams"] == 1 and out.loc[1, "dup_grams"] == 1
+    assert out.loc[2, "clean_text"] == docs.loc[2, "text"]
+    assert out.loc[3, "total_grams"] == 0
+    assert out.loc[3, "clean_text"] == "tiny doc"
+
+
+def test_remove_duplicate_spans_join_path_matches_broadcast(ray_session, sf_dir):
+    """Above the byte guard the duplicated set attaches via bucket semi join
+    + per-doc position collection; must equal the flat-columnar broadcast."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(sf_dir + "/documents.parquet",
+                           columns=["doc_id", "text"])
+    a = D.remove_duplicate_spans(docs, k=5).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    b = D.remove_duplicate_spans(docs, k=5, broadcast_bytes=0).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()),
+                                  check_dtype=False)
+    assert (a["dup_grams"] > 0).any()
