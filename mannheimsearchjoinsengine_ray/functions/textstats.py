@@ -145,3 +145,63 @@ def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> np.ndarray:
         return np.unique(h.min(keepdims=True))
     wins = np.lib.stride_tricks.sliding_window_view(h, window)
     return np.unique(wins.min(axis=1))
+
+
+# ---------------------------------------------------------------------------
+# repetition signals — Gopher-style quality rules (Rae et al. 2021 §A1.1:
+# repetitious documents are low-quality training data)
+# ---------------------------------------------------------------------------
+
+def repetition_signals(text: str) -> dict[str, float]:
+    """Per-document repetition features over whitespace words:
+    duplicate-word fraction (1 − distinct/total), top-bigram fraction and
+    top-trigram fraction (most frequent n-gram's occurrences over all n-gram
+    positions).  Empty/short inputs yield 0 fractions."""
+    words = text.split(" ") if text else []
+    n = len(words)
+    out = {"n_words": float(n), "dup_word_frac": 0.0,
+           "top_bigram_frac": 0.0, "top_trigram_frac": 0.0}
+    if n == 0 or (n == 1 and words[0] == ""):
+        out["n_words"] = 0.0
+        return out
+    out["dup_word_frac"] = 1.0 - len(set(words)) / n
+    if n >= 2:
+        from collections import Counter
+
+        bi = Counter(zip(words, words[1:]))
+        out["top_bigram_frac"] = max(bi.values()) / (n - 1)
+    if n >= 3:
+        from collections import Counter
+
+        tri = Counter(zip(words, words[1:], words[2:]))
+        out["top_trigram_frac"] = max(tri.values()) / (n - 2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — email / IPv4 / phone redaction (C4-style cleanup).
+# Patterns are RE2-compatible (no backrefs/lookarounds) so the DuckDB oracle
+# can run the IDENTICAL expressions; application order matters (a phone
+# pattern could eat IPv4 digits) and is fixed: email → ipv4 → phone.
+# ---------------------------------------------------------------------------
+
+import re as _re2
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}-\d{3}-\d{3,10}", "<PHONE>"),
+)
+
+_PII_COMPILED = [(name, _re2.compile(pat), repl)
+                 for name, pat, repl in PII_PATTERNS]
+
+
+def scrub_pii(text: str) -> tuple[str, dict[str, int]]:
+    """→ (scrubbed text, {kind: redaction count}), kinds applied in the
+    fixed PII_PATTERNS order."""
+    counts: dict[str, int] = {}
+    for name, rx, repl in _PII_COMPILED:
+        text, k = rx.subn(repl, text)
+        counts[name] = k
+    return text, counts

@@ -669,6 +669,60 @@ def q_substring_dedup(sf_dir: str):
         .astype({"id": "int64", "total_grams": "int64", "dup_grams": "int64"})
 
 
+def q_repetition_signals(sf_dir: str):
+    """Gopher-style repetition quality rules (Rae et al. 2021 §A1.1) per
+    document: duplicate-word fraction, top-bigram and top-trigram fractions.
+    SQL-oracled: DuckDB re-derives words/bigrams/trigrams by list slicing
+    and recomputes every fraction; rounded to 9 decimals on BOTH sides."""
+    from ..functions.textstats import repetition_signals
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [repetition_signals(t) for t in df["text"]]
+        out = pd.DataFrame(rows)
+        out.insert(0, "doc_id", df["doc_id"].to_numpy())
+        out["n_words"] = out["n_words"].astype("int64")
+        return out
+
+    out = ds.map_batches(feats, batch_format="pandas").to_pandas()
+    return _round_df(out.sort_values("doc_id").reset_index(drop=True),
+                     {"dup_word_frac": 9, "top_bigram_frac": 9,
+                      "top_trigram_frac": 9})
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (C4-style cleanup): email → IPv4 → phone patterns
+    applied in a fixed order.  The corpus carries no PII, so BOTH sides
+    first append the same deterministic doc_id-derived contact line — the
+    operator then runs against real redaction work.  SQL-oracled: DuckDB
+    applies the IDENTICAL RE2-compatible patterns via regexp_extract_all /
+    regexp_replace in the same order and compares counts AND the scrubbed
+    text."""
+    from ..functions.textstats import scrub_pii
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype("int64")
+        aug = df["text"] + " contact user" + did.astype(str) + \
+            "@example.com or +1-555-" + (1000 + did % 9000).astype(str) + \
+            " ip 10." + (did % 200).astype(str) + ".0." + \
+            (did % 250).astype(str)
+        rows = []
+        for doc_id, t in zip(did, aug):
+            clean, counts = scrub_pii(t)
+            rows.append({"doc_id": doc_id, "n_email": counts["email"],
+                         "n_ipv4": counts["ipv4"],
+                         "n_phone": counts["phone"], "scrubbed": clean})
+        return pd.DataFrame(rows)
+
+    out = ds.map_batches(scrub, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True) \
+        .astype({"doc_id": "int64", "n_email": "int64",
+                 "n_ipv4": "int64", "n_phone": "int64"})
+
+
 def q_quality_filter(sf_dir: str):
     """Length/language quality gate + per-source stats (C4-style filter)."""
     from ..stages.aggregates import two_phase_agg
@@ -2942,6 +2996,84 @@ FROM pairs p
 ORDER BY p.left_col, p.right_col
 """
 
+# Gopher repetition rules: words/bigrams/trigrams by list slicing; every
+# fraction recomputed and rounded to 9 decimals on both sides
+ORACLE_SQL["repetition_signals"] = """
+WITH d AS MATERIALIZED (
+    SELECT doc_id, string_split(text, ' ') AS ws, len(string_split(text, ' ')) AS n
+    FROM documents
+),
+w AS (
+    SELECT doc_id, ws[j] AS word
+    FROM d, UNNEST(range(1, n + 1)) AS t(j)
+),
+uniq AS (
+    SELECT doc_id, COUNT(DISTINCT word) AS nd FROM w GROUP BY doc_id
+),
+bg AS (
+    SELECT doc_id, ws[j] || ' ' || ws[j+1] AS g
+    FROM d, UNNEST(range(1, n)) AS t(j)
+),
+bgtop AS (
+    SELECT doc_id, MAX(c) AS topc FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g
+    ) GROUP BY doc_id
+),
+tg AS (
+    SELECT doc_id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS g
+    FROM d, UNNEST(range(1, n - 1)) AS t(j)
+),
+tgtop AS (
+    SELECT doc_id, MAX(c) AS topc FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g
+    ) GROUP BY doc_id
+)
+SELECT d.doc_id, d.n AS n_words,
+       ROUND(1.0 - u.nd / CAST(d.n AS DOUBLE), 9) AS dup_word_frac,
+       ROUND(COALESCE(b.topc / CAST(d.n - 1 AS DOUBLE), 0), 9) AS top_bigram_frac,
+       ROUND(COALESCE(t.topc / CAST(d.n - 2 AS DOUBLE), 0), 9) AS top_trigram_frac
+FROM d
+JOIN uniq u ON u.doc_id = d.doc_id
+LEFT JOIN bgtop b ON b.doc_id = d.doc_id
+LEFT JOIN tgtop t ON t.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+# PII scrub: identical RE2 patterns in the same order, counts taken on the
+# sequentially-scrubbed text exactly like the engine
+ORACLE_SQL["pii_scrub"] = r"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || doc_id || '@example.com or +1-555-'
+                || (1000 + doc_id % 9000) || ' ip 10.' || (doc_id % 200)
+                || '.0.' || (doc_id % 250) AS t0
+    FROM documents
+),
+s1 AS (
+    SELECT doc_id,
+           len(regexp_extract_all(t0,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           regexp_replace(t0,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+    FROM aug
+),
+s2 AS (
+    SELECT doc_id, n_email,
+           len(regexp_extract_all(t1,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+           regexp_replace(t1,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+    FROM s1
+)
+SELECT doc_id, n_email, n_ipv4,
+       len(regexp_extract_all(t2, '\+\d{1,3}-\d{3}-\d{3,10}')) AS n_phone,
+       regexp_replace(t2, '\+\d{1,3}-\d{3}-\d{3,10}', '<PHONE>', 'g')
+           AS scrubbed
+FROM s2
+ORDER BY doc_id
+"""
+
 # Substring (word 5-gram span) dedup: grams by list slicing, duplicated set
 # over gram STRINGS, coverage by range expansion, clean text by ordered agg
 ORACLE_SQL["substring_dedup"] = """
@@ -3417,6 +3549,8 @@ QUERIES: dict = {
     "token_counts": q_token_counts,
     "exact_dedup": q_exact_dedup,
     "substring_dedup": q_substring_dedup,
+    "repetition_signals": q_repetition_signals,
+    "pii_scrub": q_pii_scrub,
     "quality_filter": q_quality_filter,
     "language_id": q_language_id,
     "ann_topk": q_ann_topk,
