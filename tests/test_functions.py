@@ -451,3 +451,37 @@ class TestBreadthExtensions:
         assert M.label_similarity("football", "cricket") >= 0.7
         assert M.label_similarity("gold", "copper") >= 0.7
         assert M.label_similarity("yen", "rupee") >= 0.7
+
+
+class TestTrainingDataOps:
+    def test_scrub_pii(self):
+        from mannheimsearchjoinsengine_ray.functions.textstats import scrub_pii
+
+        t, c = scrub_pii("mail bob.smith+x@sub.example.co.uk or "
+                         "+44-555-12345 from 10.0.255.3 ok")
+        assert t == "mail <EMAIL> or <PHONE> from <IP> ok"
+        assert c == {"email": 1, "ipv4": 1, "phone": 1}
+        # order matters: the phone pattern must not eat IPv4 digits
+        t, c = scrub_pii("ip 1.2.3.4 then +1-555-123456")
+        assert t == "ip <IP> then <PHONE>"
+        # no PII → untouched
+        t, c = scrub_pii("plain text 100.5 at example dot com")
+        assert t == "plain text 100.5 at example dot com"
+        assert sum(c.values()) == 0
+        assert scrub_pii("")[0] == ""
+
+    def test_repetition_signals(self):
+        from mannheimsearchjoinsengine_ray.functions.textstats import repetition_signals
+
+        r = repetition_signals("a b a b a b c")
+        assert r["n_words"] == 7
+        assert r["dup_word_frac"] == pytest.approx(1 - 3 / 7)
+        assert r["top_bigram_frac"] == pytest.approx(3 / 6)  # 'a b' ×3
+        assert r["top_trigram_frac"] == pytest.approx(2 / 5)  # 'a b a' ×2
+        assert repetition_signals("")["n_words"] == 0
+        one = repetition_signals("solo")
+        assert one["n_words"] == 1 and one["top_bigram_frac"] == 0.0
+        # fully repeated doc maxes the signals
+        rep = repetition_signals("x x x x x x")
+        assert rep["dup_word_frac"] == pytest.approx(5 / 6)
+        assert rep["top_bigram_frac"] == 1.0
