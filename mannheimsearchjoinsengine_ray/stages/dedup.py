@@ -161,8 +161,12 @@ def remove_duplicate_spans(docs_ds, k: int = 5, min_count: int = 2,
     gram_rows = docs_ds.map_batches(explode, batch_format="pyarrow")
     dup_rows = bucket_semi_join(gram_rows,
                                 dup.select_columns(["gram_hash"]),
-                                "gram_hash", "gram_hash")
-    n_buckets = 32
+                                "gram_hash", "gram_hash").materialize()
+    # exchange width from MEASURED surviving bytes (a fixed count would cap
+    # the per-doc collection at any scale — CLAUDE.md rule)
+    from .aggregates import _auto_block_count
+
+    n_buckets = _auto_block_count(dup_rows)
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         df = df[["__doc", "__pos"]].copy()
