@@ -253,3 +253,31 @@ def test_fast_feed_equivalence(ray_session, corpus_dir):
                 parse_page_full(h, use_fast=False)
             npages += 1
     assert npages >= 100
+
+
+def test_fast_feed_fuzz_equivalence(ray_session):
+    """Property: on ARBITRARY markup-ish soup the fast feeder and stdlib
+    HTMLParser produce identical (text, tables)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mannheimsearchjoinsengine_ray.stages.extract import parse_page_full
+
+    frag = st.sampled_from([
+        "<", ">", "</", "<!", "<!--", "-->", "&", ";", "&#", "&amp", "&amp;",
+        "&#65;", "&#x41;", "&bogus;", " ", "x", "table", "<table>", "</table>",
+        "<tr>", "</tr>", "<td>", "</td>", "<th>", "</th>", "<p>", "</p>",
+        "<script>", "</script>", "<style>", "</style>", "<br/>", "<br />",
+        "<div class='a'>", "<div a=b>", "<a href=\"x>y\">", "'", '"', "=",
+        "/", "<?pi?>", "<!doctype html>", "text with spaces", "\n", "\t",
+        "<td a='b>c'>", "</ >", "</>", "<x", "y>", "<!x>", "π≠", "\x00",
+    ])
+    soup = st.lists(frag, min_size=0, max_size=40).map("".join)
+
+    @settings(max_examples=300, deadline=None)
+    @given(soup)
+    def check(html):
+        assert parse_page_full(html, use_fast=True) == \
+            parse_page_full(html, use_fast=False)
+
+    check()
