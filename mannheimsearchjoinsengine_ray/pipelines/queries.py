@@ -147,11 +147,14 @@ def q_top_orders(sf_dir: str):
 
 def q_value_multiplicity(sf_dir: str):
     """Value multiplicity (TableColumn.valuesInfo / addNewValue:251-286):
-    count per (lang, source)."""
-    from ray.data.aggregate import Count
+    count per (lang, source).  Two-phase — the key is LOW-cardinality, so
+    only per-batch partials (≤ groups rows per block) reach the exchange,
+    never the document rows."""
+    from ..stages.aggregates import two_phase_agg
 
-    out = _rp(sf_dir, "documents", ["lang", "source"]) \
-        .groupby(["lang", "source"]).aggregate(Count(alias_name="multiplicity"))
+    out = two_phase_agg(_rp(sf_dir, "documents", ["lang", "source"]),
+                        ["lang", "source"],
+                        {"multiplicity": (None, "count")})
     return out.to_pandas()
 
 
