@@ -371,8 +371,12 @@ def run_full(pages_path: str, out_dir: str,
                                       batch_format="pyarrow")
         # distinct mention strings come straight from the table records —
         # cheaper than re-running the context-building mention map for them
+        # top_k=1 at emission: run_full persists only the rank-0 decision,
+        # so producing the top-5 candidate edges just to filter 80 % away
+        # wasted 5× the edge volume through the object store (2.46M → 493k
+        # rows at sf0.1; edge set verified identical to top1(top_k=5))
         edges = top1_links(link_mentions(
-            mentions, index_dir, cfg,
+            mentions, index_dir, cfg, top_k=1,
             distinct_ds=distinct_mentions(tables, from_tables=True)))
         edges.write_parquet(os.path.join(shard_dir, "edges"))
         metrics["link_sec"] = metrics.get("link_sec", 0.0) + time.time() - _ts
