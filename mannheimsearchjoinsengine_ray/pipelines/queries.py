@@ -1041,6 +1041,23 @@ def q_minhash_pairs(sf_dir: str):
     return out.astype({"jaccard": "float64"})
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Char 2-4-gram Jaccard near-dup pairs over MinHash-LSH candidates
+    (the reference's string similarity at document granularity).
+    SQL-oracled like ``minhash_pairs``: the persisted per-permutation
+    minhash values regroup into band signatures for candidate generation,
+    and distinct char-2-4-grams per doc verify exact Jaccard ≥ 0.6."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    _persist_dedup_raw(sf_dir)
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    df = ngram_jaccard_pairs(docs, min_jaccard=0.6).to_pandas()
+    if not df.empty:
+        df = df.assign(jaccard=df["jaccard"].round(6))
+    out = _dedupe_pair_df(df, "jaccard")
+    return out.astype({"jaccard": "float64"})
+
+
 def q_simhash_dedup(sf_dir: str):
     """SimHash near-dup pairs (Hamming <= 3 via 16-bit chunk banding).
     SQL-oracled: per-doc simhashes persist to parquet and DuckDB recomputes
@@ -2170,7 +2187,7 @@ def _persist_dedup_raw(sf_dir: str) -> None:
         with open(marker) as fh:
             if fh.read() == key and all(
                 os.path.isdir(os.path.join(_KG_ORACLE_BASE, d))
-                for d in ("simhashes", "mh_sigs", "mh_shingles")):
+                for d in ("simhashes", "mh_sigs", "mh_shingles", "cgrams")):
                 return
 
     def doc_simhashes(t: pa.Table) -> pa.Table:
@@ -2209,9 +2226,24 @@ def _persist_dedup_raw(sf_dir: str) -> None:
             {"doc_id": ids, "shingle": shingles},
             schema=pa.schema([("doc_id", pa.int64()), ("shingle", pa.string())]))
 
+    def cgram_explode(t: pa.Table) -> pa.Table:
+        from ..functions.similarity import ngrams_in_bounds
+
+        ids: list[int] = []
+        grams: list[str] = []
+        for did, text in zip(t.column("doc_id").to_pylist(),
+                             t.column("text").to_pylist()):
+            gs = set(ngrams_in_bounds(text or "", 2, 4))
+            ids.extend([did] * len(gs))
+            grams.extend(sorted(gs))
+        return pa.Table.from_pydict(
+            {"doc_id": ids, "cgram": grams},
+            schema=pa.schema([("doc_id", pa.int64()), ("cgram", pa.string())]))
+
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     for name, fn in (("simhashes", doc_simhashes), ("mh_sigs", mh_explode),
-                     ("mh_shingles", shingle_explode)):
+                     ("mh_shingles", shingle_explode),
+                     ("cgrams", cgram_explode)):
         out_dir = os.path.join(_KG_ORACLE_BASE, name)
         tmp = out_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
@@ -2788,6 +2820,46 @@ ORACLE_SQL: dict[str, str] = {
           ON i.left_id = c.left_id AND i.right_id = c.right_id
         WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
               / (za.n + zb.n - COALESCE(i.i, 0)) >= 0.5
+        ORDER BY c.left_id, c.right_id
+    """,
+    "ngram_jaccard_pairs": """
+        WITH bands AS (
+            SELECT doc_id, CAST(perm_idx // 4 AS INTEGER) AS band_idx,
+                   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm_idx)
+                       AS band_sig
+            FROM read_parquet('/tmp/graft_kg_oracle/mh_sigs/*.parquet')
+            GROUP BY doc_id, CAST(perm_idx // 4 AS INTEGER)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+             AND a.doc_id < b.doc_id
+        ),
+        sz AS (
+            SELECT doc_id, COUNT(*) AS n
+            FROM read_parquet('/tmp/graft_kg_oracle/cgrams/*.parquet')
+            GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT c.left_id, c.right_id, COUNT(*) AS i
+            FROM cand c
+            JOIN read_parquet('/tmp/graft_kg_oracle/cgrams/*.parquet') s1
+              ON s1.doc_id = c.left_id
+            JOIN read_parquet('/tmp/graft_kg_oracle/cgrams/*.parquet') s2
+              ON s2.doc_id = c.right_id AND s2.cgram = s1.cgram
+            GROUP BY c.left_id, c.right_id
+        )
+        SELECT c.left_id, c.right_id,
+               ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE)
+                     / (za.n + zb.n - COALESCE(i.i, 0)), 6) AS jaccard
+        FROM cand c
+        JOIN sz za ON za.doc_id = c.left_id
+        JOIN sz zb ON zb.doc_id = c.right_id
+        LEFT JOIN inter i
+          ON i.left_id = c.left_id AND i.right_id = c.right_id
+        WHERE CAST(COALESCE(i.i, 0) AS DOUBLE)
+              / (za.n + zb.n - COALESCE(i.i, 0)) >= 0.6
         ORDER BY c.left_id, c.right_id
     """,
     "minhash_dedup": """
@@ -3560,6 +3632,7 @@ QUERIES: dict = {
     "ann_ivf_exact": q_ann_ivf_exact,
     "simhash_dedup": q_simhash_dedup,
     "minhash_pairs": q_minhash_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_dedup": q_minhash_dedup,
     "embedding_neardup": q_embedding_neardup,
     "doc_fingerprints": q_doc_fingerprints,
