@@ -151,7 +151,8 @@ def materialize_triples(triples, out_dir: str,
         batch_map = {str(p): i for i, p in enumerate(parts_out)}
         schema = sorted_tbl.schema.with_metadata(
             {b"parts": _json.dumps(batch_map).encode()})
-        tmp = os.path.join(runs_dir, f"run-{uuid.uuid4().hex}.arrow.tmp")
+        run_id = uuid.uuid4().hex
+        tmp = os.path.join(runs_dir, f"run-{run_id}.arrow.tmp")
         with pa.OSFile(tmp, "wb") as fh:
             with pa.ipc.new_file(fh, schema, options=ipc_opts) as writer:
                 for s, e in zip(starts, ends):
@@ -162,14 +163,20 @@ def materialize_triples(triples, out_dir: str,
                     writer.write_batch(rbs[0])
         os.replace(tmp, tmp[:-4])
         return pa.table({"partition": pa.array(parts_out, pa.int64()),
-                         "rows": pa.array(rows_out, pa.int64())})
+                         "rows": pa.array(rows_out, pa.int64()),
+                         "run_id": pa.array([run_id] * len(parts_out))})
 
     # batch_size=None: one split task per upstream block (CLAUDE.md rule)
     counts = triples.map_batches(split_write, batch_format="pyarrow",
                                  batch_size=None).take_all()
     live_parts = sorted({int(c["partition"]) for c in counts})
-    run_files = sorted(os.path.join(runs_dir, f) for f in os.listdir(runs_dir)
-                       if f.endswith(".arrow"))
+    # the COMMIT record is the task RESULT, not the filesystem: a task
+    # retried after its rename completed (worker lost between rename and
+    # result delivery) leaves an orphan file whose run_id never reaches
+    # `counts` — merging from a directory listing would double-count that
+    # block, so stage B reads exactly the reported runs
+    valid_runs = sorted({c["run_id"] for c in counts})
+    run_files = [os.path.join(runs_dir, f"run-{r}.arrow") for r in valid_runs]
 
     def finalize(batch: pa.Table) -> pa.Table:
         parts_out, rows_out = [], []

@@ -112,3 +112,34 @@ def test_tables_per_key_distribution(ray_session):
     m = dict(zip(out["mention"], out["n_tables"]))
     assert m["alpha"] == 2  # u1/t0 (deduped) + u2/t0
     assert m["beta"] == 1
+
+
+def test_materialize_rows_exact_and_runs_cleaned(ray_session, tmp_path):
+    """Exactly-once accounting: the merge reads ONLY the run files reported
+    by stage-A task results (an orphan from a lost retry would be ignored),
+    so the committed row total is exact; the transient runs dir is removed
+    after the merge."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from mannheimsearchjoinsengine_ray.pipelines.kg import materialize_triples
+
+    tbl = pa.table({
+        "subj": [f"http://x/s{i}" for i in range(100)],
+        "pred": ["p"] * 100,
+        "obj": [str(i) for i in range(100)],
+        "obj_type": ["string"] * 100,
+    })
+    out = str(tmp_path / "mat")
+    ds = rd.from_arrow(tbl).repartition(5)
+    stats = materialize_triples(ds, out, num_partitions=4)
+    assert sum(s["rows"] for s in stats) == 100
+    assert not os.path.isdir(os.path.join(out, "_runs"))
+    got = pq.read_table(out).num_rows if os.path.isfile(out) else sum(
+        pq.read_table(os.path.join(root, f)).num_rows
+        for root, _, files in os.walk(out) for f in files
+        if f.endswith(".parquet"))
+    assert got == 100
