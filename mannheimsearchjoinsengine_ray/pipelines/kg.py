@@ -371,11 +371,14 @@ def run_full(pages_path: str, out_dir: str,
         # cleanly (see BASELINE.md optimization log).
         _ts = time.time()
         triples = triples_ds(tables, cfg)
-        # run-file compression adapts to the shard's volume: under ~1 GB of
-        # input pages the runs fit the page cache and uncompressed IPC is
-        # ~0.5 s faster end-to-end; above it the exchange is DISK-bound and
-        # lz4's 3.3× byte reduction wins (measured 42.9→30.9 s at 16 cpus
-        # on a 256k-page shard).  GRAFT_RUN_COMPRESSION overrides.
+        # run-file compression adapts to the shard's volume (spill bytes ≈
+        # ~9× the input parquet at this corpus shape): under ~1 GB of input
+        # parquet the runs stay page-cache-resident and uncompressed IPC is
+        # measurably faster (~0.5 s at sf0.1); above it — real-scale shards
+        # whose runs dir is remote/shared storage — lz4's 3.3× byte
+        # reduction is the right spill policy (A/B at 256k pages: triples
+        # 42.9→30.9 s at 16 cpus, within the machine noise band; see
+        # BASELINE.md #37).  GRAFT_RUN_COMPRESSION overrides.
         shard_bytes = sum(os.path.getsize(f) for f in frag_group
                           if os.path.isfile(f))
         run_comp = os.environ.get(
