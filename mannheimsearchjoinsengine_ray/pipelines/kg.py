@@ -18,10 +18,13 @@ hash-partitioned by subject and sorted by (subj, pred).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 
 import pyarrow as pa
+
+_log = logging.getLogger(__name__)
 
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..stages import materialize as mat
@@ -79,7 +82,8 @@ def extract_text_ds(pages_path: str):
 def materialize_triples(triples, out_dir: str,
                         num_partitions: int = 16,
                         fingerprint: str = "",
-                        run_compression: str | None = None) -> list[dict]:
+                        run_compression: str | None = None,
+                        split_rows: int | None = None) -> list[dict]:
     """Write triples into hash(subj) partitions, sorted, atomic, manifested.
 
     Two-stage DISK exchange instead of Ray's sort shuffle (which cost 7.1 s
@@ -110,6 +114,22 @@ def materialize_triples(triples, out_dir: str,
     exchange is the external-shuffle layout (map-side spill, reduce-side
     merge), so a lost node re-runs only its map tasks and the merge fan-in
     per partition is bounded by the shard's block count, not the corpus.
+
+    Each merge task opens ONLY the run files whose stage-A report contains
+    its partition (the driver already holds the exact partition→run map in
+    ``counts`` — re-opening every run per partition would be O(runs ×
+    partitions) footer reads on shared storage).
+
+    Head-entity skew (dbpedia/schema.org-style subjects, SURVEY §4): a
+    partition whose stage-A total exceeds ``split_rows`` (default
+    ``GRAFT_PART_SPLIT_ROWS`` or 4M) is NOT sorted by one task.  Its merge
+    splits into ceil(total/split_rows) range sub-tasks: boundaries come from
+    per-run key samples ((subj, pred, obj) quantiles — the obj tiebreaker
+    lets one head subject span sub-files while each file, and the file
+    sequence, stays (subj, pred)-sorted), each sub-task filters its runs to
+    its key range and writes one sorted ``data-{j:05d}.parquet`` into the
+    partition's staging dir, and the driver commits the rename + manifest
+    once — the partition directory stays the unit of commit.
     """
     import json as _json
     import shutil as _shutil
@@ -169,39 +189,193 @@ def materialize_triples(triples, out_dir: str,
     # batch_size=None: one split task per upstream block (CLAUDE.md rule)
     counts = triples.map_batches(split_write, batch_format="pyarrow",
                                  batch_size=None).take_all()
-    live_parts = sorted({int(c["partition"]) for c in counts})
     # the COMMIT record is the task RESULT, not the filesystem: a task
     # retried after its rename completed (worker lost between rename and
     # result delivery) leaves an orphan file whose run_id never reaches
     # `counts` — merging from a directory listing would double-count that
-    # block, so stage B reads exactly the reported runs
-    valid_runs = sorted({c["run_id"] for c in counts})
-    run_files = [os.path.join(runs_dir, f"run-{r}.arrow") for r in valid_runs]
+    # block, so stage B reads exactly the reported runs.  Group by partition
+    # so each merge task opens only its own runs (not runs × partitions).
+    part_runs: dict[int, list[str]] = {}
+    part_rows: dict[int, int] = {}
+    for c in counts:
+        p = int(c["partition"])
+        part_runs.setdefault(p, []).append(
+            os.path.join(runs_dir, f"run-{c['run_id']}.arrow"))
+        part_rows[p] = part_rows.get(p, 0) + int(c["rows"])
+    live_parts = sorted(part_runs)
+    n_runs = len({c["run_id"] for c in counts})
+    _log.info("materialize fan-in: %d live (run, partition) pairs "
+              "(naive all-runs merge would open %d)",
+              sum(len(v) for v in part_runs.values()),
+              n_runs * len(live_parts))
+
+    if split_rows is None:
+        split_rows = int(os.environ.get("GRAFT_PART_SPLIT_ROWS", 4_000_000))
+
+    def _read_part_batch(path: str, p: int) -> pa.Table | None:
+        with pa.memory_map(path) as src:
+            rdr = pa.ipc.open_file(src)
+            bm = _json.loads(rdr.schema.metadata[b"parts"])
+            i = bm.get(str(p))
+            if i is None:
+                return None
+            return pa.Table.from_batches([rdr.get_batch(i)])
+
+    def _ge_key(tbl: pa.Table, key: tuple) -> pa.Array:
+        # (subj, pred, obj) >= key, lexicographic
+        import pyarrow.compute as pc
+
+        s, p_, o = tbl.column("subj"), tbl.column("pred"), tbl.column("obj")
+        ks, kp, ko = key
+        return pc.or_(
+            pc.greater(s, ks),
+            pc.and_(pc.equal(s, ks),
+                    pc.or_(pc.greater(p_, kp),
+                           pc.and_(pc.equal(p_, kp),
+                                   pc.greater_equal(o, ko)))))
+
+    # --- plan range boundaries for skewed partitions ---
+    heavy = {p: part_rows[p] for p in live_parts if part_rows[p] > split_rows}
+    boundaries: dict[int, list[tuple]] = {}
+    if heavy:
+        import math
+
+        import ray as _ray
+
+        @_ray.remote
+        def sample_keys(files: list[str], p: int, n_per_run: int) -> list[tuple]:
+            import numpy as _np
+
+            out = []
+            for f in files:
+                t = _read_part_batch(f, p)
+                if t is None or t.num_rows == 0:
+                    continue
+                k = min(n_per_run, t.num_rows)
+                idx = _np.linspace(0, t.num_rows - 1, k).astype(_np.int64)
+                sub = t.select(["subj", "pred", "obj"]).take(pa.array(idx))
+                out.extend(zip(sub.column("subj").to_pylist(),
+                               sub.column("pred").to_pylist(),
+                               sub.column("obj").to_pylist()))
+            return out
+
+        futs = {}
+        for p, total in heavy.items():
+            n_sub = math.ceil(total / split_rows)
+            target = min(max(256 * n_sub, 1024), 65536)
+            n_per_run = math.ceil(target / len(part_runs[p]))
+            futs[p] = (n_sub, sample_keys.remote(part_runs[p], p, n_per_run))
+        for p, (n_sub, fut) in futs.items():
+            samples = sorted(_ray.get(fut))
+            bnds: list[tuple] = []
+            for j in range(1, n_sub):
+                b = samples[min(len(samples) - 1, (len(samples) * j) // n_sub)]
+                if not bnds or b > bnds[-1]:
+                    bnds.append(b)
+            if bnds:  # all-equal keys can't range-split → single-task path
+                boundaries[p] = bnds
+                tmp_dir = os.path.join(out_dir, f"part={p:05d}.tmp")
+                _shutil.rmtree(tmp_dir, ignore_errors=True)
+                os.makedirs(tmp_dir, exist_ok=True)
+        _log.info("skew split: %d heavy partition(s) > %d rows → %s sub-files",
+                  len(boundaries), split_rows,
+                  {p: len(b) + 1 for p, b in boundaries.items()})
+
+    # one work row per merge task: sub == -1 is the whole-partition path,
+    # sub >= 0 merges one (subj, pred, obj) key range of a heavy partition
+    work_rows: list[dict] = []
+    for p in live_parts:
+        if p in boundaries:
+            bnds = boundaries[p]
+            keyed = [None, *bnds, None]
+            for j in range(len(bnds) + 1):
+                work_rows.append({"p": p, "sub": j, "runs": part_runs[p],
+                                  "lo": keyed[j], "hi": keyed[j + 1]})
+        else:
+            work_rows.append({"p": p, "sub": -1, "runs": part_runs[p],
+                              "lo": None, "hi": None})
 
     def finalize(batch: pa.Table) -> pa.Table:
-        parts_out, rows_out = [], []
-        for p in batch.column("p").to_pylist():
+        import pyarrow.compute as pc
+
+        recs = batch.to_pylist()
+        out = {"partition": [], "sub": [], "rows": [], "distinct": [],
+               "min_subj": [], "max_subj": []}
+        for rec in recs:
+            p, sub = int(rec["p"]), int(rec["sub"])
             chunks = []
-            for f in run_files:
-                with pa.memory_map(f) as src:
-                    rdr = pa.ipc.open_file(src)
-                    bm = _json.loads(rdr.schema.metadata[b"parts"])
-                    i = bm.get(str(p))
-                    if i is not None:
-                        chunks.append(pa.Table.from_batches([rdr.get_batch(i)]))
+            for f in rec["runs"]:
+                t = _read_part_batch(f, p)
+                if t is not None:
+                    chunks.append(t)
             table = pa.concat_tables(chunks)
-            manifest = mat.write_partition(table, out_dir, p, fingerprint)
-            parts_out.append(manifest["partition"])
-            rows_out.append(manifest["rows"])
-        return pa.table({"partition": pa.array(parts_out, pa.int64()),
-                         "rows": pa.array(rows_out, pa.int64())})
+            if sub < 0:
+                manifest = mat.write_partition(table, out_dir, p, fingerprint)
+                out["partition"].append(p); out["sub"].append(-1)
+                out["rows"].append(manifest["rows"])
+                out["distinct"].append(manifest["distinct_subjects"])
+                out["min_subj"].append(None); out["max_subj"].append(None)
+                continue
+            mask = None
+            if rec["lo"] is not None:
+                mask = _ge_key(table, tuple(rec["lo"]))
+            if rec["hi"] is not None:
+                lt_hi = pc.invert(_ge_key(table, tuple(rec["hi"])))
+                mask = lt_hi if mask is None else pc.and_(mask, lt_hi)
+            if mask is not None:
+                table = table.filter(mask)
+            n = table.num_rows
+            if n:
+                table = table.sort_by([("subj", "ascending"),
+                                       ("pred", "ascending")])
+                tmp_dir = os.path.join(out_dir, f"part={p:05d}.tmp")
+                import pyarrow.parquet as pq
+                pq.write_table(
+                    table, os.path.join(tmp_dir, f"data-{sub:05d}.parquet"))
+            subj_col = table.column("subj")
+            out["partition"].append(p); out["sub"].append(sub)
+            out["rows"].append(n)
+            out["distinct"].append(
+                int(pc.count_distinct(subj_col).as_py()) if n else 0)
+            out["min_subj"].append(subj_col[0].as_py() if n else None)
+            out["max_subj"].append(subj_col[n - 1].as_py() if n else None)
+        return pa.table({"partition": pa.array(out["partition"], pa.int64()),
+                         "sub": pa.array(out["sub"], pa.int64()),
+                         "rows": pa.array(out["rows"], pa.int64()),
+                         "distinct": pa.array(out["distinct"], pa.int64()),
+                         "min_subj": pa.array(out["min_subj"], pa.string()),
+                         "max_subj": pa.array(out["max_subj"], pa.string())})
 
     stats: list[dict] = []
-    if live_parts:
-        parts_ds = rd.from_arrow(pa.table({"p": pa.array(live_parts, pa.int64())}))
-        parts_ds = parts_ds.repartition(len(live_parts))
-        stats = parts_ds.map_batches(finalize, batch_format="pyarrow",
-                                     batch_size=None).take_all()
+    if work_rows:
+        import pandas as _pd
+
+        parts_ds = rd.from_pandas(_pd.DataFrame(work_rows))
+        parts_ds = parts_ds.repartition(len(work_rows))
+        results = parts_ds.map_batches(finalize, batch_format="pyarrow",
+                                       batch_size=None).take_all()
+        sub_acc: dict[int, list[dict]] = {}
+        for r in results:
+            if r["sub"] < 0:
+                stats.append({"partition": int(r["partition"]),
+                              "rows": int(r["rows"])})
+            else:
+                sub_acc.setdefault(int(r["partition"]), []).append(r)
+        for p, subs in sub_acc.items():
+            subs.sort(key=lambda r: r["sub"])
+            subs = [s for s in subs if s["rows"]]
+            rows = int(sum(s["rows"] for s in subs))
+            # sub-files are contiguous key ranges: a subject spanning k
+            # adjacent files is counted k times in the per-file distincts
+            # and k-1 times in the boundary-equality correction
+            distinct = int(sum(s["distinct"] for s in subs)) - sum(
+                1 for a, b in zip(subs, subs[1:])
+                if a["max_subj"] == b["min_subj"])
+            manifest = mat.commit_partition_dir(
+                out_dir, p, rows, distinct, fingerprint, files=len(subs))
+            stats.append({"partition": manifest["partition"],
+                          "rows": manifest["rows"]})
+        stats.sort(key=lambda m: m["partition"])
     _shutil.rmtree(runs_dir, ignore_errors=True)
     return stats
 

@@ -51,6 +51,37 @@ def completed_partitions(out_dir: str) -> set[int]:
     return done
 
 
+def commit_partition_dir(out_dir: str, part: int, rows: int,
+                         distinct_subjects: int,
+                         input_fingerprint: str = "",
+                         files: int = 1) -> dict:
+    """Atomic commit of an already-written ``part=P.tmp`` staging directory:
+    rename to ``part=P``, then write the JSON manifest (the commit record).
+    Shared by the single-task path (:func:`write_partition`) and the
+    skew-split path where several sub-merge tasks each wrote one range file
+    into the staging dir and the driver commits once all have reported."""
+    part_dir = os.path.join(out_dir, f"part={part:05d}")
+    tmp_dir = part_dir + ".tmp"
+    if os.path.isdir(part_dir):
+        shutil.rmtree(part_dir)
+    os.replace(tmp_dir, part_dir)
+
+    manifest = {
+        "partition": part,
+        "rows": rows,
+        "distinct_subjects": distinct_subjects,
+        "input_fingerprint": input_fingerprint,
+        "files": files,
+        "completed_at": time.time(),
+    }
+    mp = manifest_path(out_dir, part)
+    tmp_mp = mp + ".tmp"
+    with open(tmp_mp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp_mp, mp)
+    return manifest
+
+
 def write_partition(table: pa.Table, out_dir: str, part: int,
                     input_fingerprint: str = "") -> dict:
     """Atomically write one sorted partition + its manifest; returns metrics.
@@ -71,34 +102,26 @@ def write_partition(table: pa.Table, out_dir: str, part: int,
     os.makedirs(tmp_dir)
     import pyarrow.parquet as pq
     pq.write_table(table, os.path.join(tmp_dir, "data.parquet"))
-    if os.path.isdir(part_dir):
-        shutil.rmtree(part_dir)
-    os.replace(tmp_dir, part_dir)
 
     import pyarrow.compute as pc
 
-    manifest = {
-        "partition": part,
-        "rows": table.num_rows,
-        "distinct_subjects": int(pc.count_distinct(table.column("subj")).as_py())
-        if table.num_rows else 0,
-        "input_fingerprint": input_fingerprint,
-        "completed_at": time.time(),
-    }
-    mp = manifest_path(out_dir, part)
-    tmp_mp = mp + ".tmp"
-    with open(tmp_mp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp_mp, mp)
-    return manifest
+    distinct = (int(pc.count_distinct(table.column("subj")).as_py())
+                if table.num_rows else 0)
+    return commit_partition_dir(out_dir, part, table.num_rows, distinct,
+                                input_fingerprint)
 
 
 def read_materialized(out_dir: str):
     """Read back all completed partitions as one Dataset."""
     import ray.data as rd
 
-    parts = sorted(
-        os.path.join(out_dir, d) for d in os.listdir(out_dir)
-        if d.startswith("part=") and not d.endswith(".tmp")
-    )
-    return rd.read_parquet(parts)
+    # expand to files: Ray treats list entries as files, not directories,
+    # and a skew-split partition holds several range-sorted data-*.parquet
+    paths = []
+    for d in sorted(os.listdir(out_dir)):
+        if d.startswith("part=") and not d.endswith(".tmp"):
+            part_dir = os.path.join(out_dir, d)
+            paths.extend(os.path.join(part_dir, f)
+                         for f in sorted(os.listdir(part_dir))
+                         if f.endswith(".parquet"))
+    return rd.read_parquet(paths)

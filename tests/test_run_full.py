@@ -143,3 +143,66 @@ def test_materialize_rows_exact_and_runs_cleaned(ray_session, tmp_path):
         for root, _, files in os.walk(out) for f in files
         if f.endswith(".parquet"))
     assert got == 100
+
+
+def test_skew_split_partition_merge(ray_session, tmp_path):
+    """Head-entity skew (VERDICT r4 #3): a partition whose stage-A total
+    exceeds split_rows is merged by several range sub-tasks into sorted
+    data-{j}.parquet files — output row-identical to the single-task path,
+    manifest (rows + exact distinct_subjects) unchanged, partition dir still
+    the atomic commit unit, and the file sequence stays (subj, pred)-sorted."""
+    import glob
+    import json as _json
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from mannheimsearchjoinsengine_ray.pipelines.kg import materialize_triples
+    from mannheimsearchjoinsengine_ray.stages.materialize import read_materialized
+
+    rng = np.random.RandomState(7)
+    n = 6000
+    n_head = int(n * 0.3)  # one subject = 30% of triples
+    subs = (["http://x/HeadEntity"] * n_head
+            + [f"http://x/E{rng.randint(0, 400)}" for _ in range(n - n_head)])
+    tbl = pa.table({
+        "subj": subs,
+        "pred": [f"http://x/p{rng.randint(0, 5)}" for _ in range(n)],
+        "obj": [f"v{rng.randint(0, 3000)}" for _ in range(n)],
+        "obj_type": ["string"] * n,
+        "source_url": ["u"] * n,
+    })
+    tbl = tbl.take(pa.array(rng.permutation(n)))
+
+    plain, split = str(tmp_path / "plain"), str(tmp_path / "split")
+    s1 = materialize_triples(rd.from_arrow(tbl).repartition(6), plain,
+                             num_partitions=4, split_rows=10**9)
+    s2 = materialize_triples(rd.from_arrow(tbl).repartition(6), split,
+                             num_partitions=4, split_rows=500)
+    assert sum(m["rows"] for m in s1) == n == sum(m["rows"] for m in s2)
+
+    multi = [d for d in glob.glob(os.path.join(split, "part=*"))
+             if len(glob.glob(os.path.join(d, "*.parquet"))) > 1]
+    assert multi, "heavy partition did not split"
+    assert not glob.glob(os.path.join(split, "*.tmp"))
+
+    t1 = read_materialized(plain).to_pandas().sort_values(
+        ["subj", "pred", "obj"]).reset_index(drop=True)
+    t2 = read_materialized(split).to_pandas().sort_values(
+        ["subj", "pred", "obj"]).reset_index(drop=True)
+    assert t1.equals(t2)
+
+    for p in range(4):
+        m1 = _json.load(open(os.path.join(plain, f"manifest_part{p:05d}.json")))
+        m2 = _json.load(open(os.path.join(split, f"manifest_part{p:05d}.json")))
+        assert m1["rows"] == m2["rows"]
+        assert m1["distinct_subjects"] == m2["distinct_subjects"]
+
+    for d in multi:  # reading range files in name order is globally sorted
+        cat = pa.concat_tables([pq.read_table(f) for f in
+                                sorted(glob.glob(os.path.join(d, "*.parquet")))])
+        srt = cat.sort_by([("subj", "ascending"), ("pred", "ascending")])
+        assert cat.column("subj").to_pylist() == srt.column("subj").to_pylist()
