@@ -90,6 +90,170 @@ def run_bench() -> dict:
     }
 
 
+def _rss_probe(index_dir: str, shard: int | None) -> dict:
+    """Fresh-subprocess load of the full index vs one shard (+ global term
+    dictionary) → {sec, rss_mb}: the per-worker memory evidence for the
+    shard-routed linker."""
+    arg = "None" if shard is None else str(shard)
+    code = (
+        "import sys, time, resource;"
+        f"sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r});"
+        "from mannheimsearchjoinsengine_ray.state.index import LabelIndex, "
+        "vocab_stats_for;"
+        "t0=time.perf_counter();"
+        f"s={arg};"
+        f"idx=LabelIndex({index_dir!r}) if s is None else "
+        f"LabelIndex({index_dir!r}, shards=[s], "
+        f"vocab=vocab_stats_for({index_dir!r}));"
+        "el=time.perf_counter()-t0;"
+        "rss=resource.getrusage(resource.RUSAGE_SELF).ru_maxrss/1024;"
+        "print(round(el,2), round(rss,1))"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, check=True)
+    sec, rss = out.stdout.strip().split()
+    return {"sec": float(sec), "rss_mb": float(rss)}
+
+
+def _biglink_mentions(n_rows: int, num_blocks: int):
+    """Head-entity-skewed mention stream: entity 0's label is 20% of all
+    mention rows (SURVEY §4 head-subject skew), the rest Zipf-ish over a
+    50k-entity sample; ~25% of rows carry row context."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mannheimsearchjoinsengine_ray.sources.pages import (
+        scale_gazetteer_label,
+    )
+    from mannheimsearchjoinsengine_ray.stages import link as L
+
+    rng = np.random.RandomState(13)
+    n_tail = int(n_rows * 0.8)
+    tail_eids = (rng.zipf(1.3, size=n_tail * 2) - 1)
+    tail_eids = tail_eids[tail_eids < 50000][:n_tail]
+    eids = np.concatenate([np.zeros(n_rows - len(tail_eids), dtype=np.int64),
+                           tail_eids.astype(np.int64)])
+    rng.shuffle(eids)
+    ments = [scale_gazetteer_label(int(e)) for e in eids]
+    ctx = ["north region\x1fred" if i % 4 == 0 else ""
+           for i in range(len(ments))]
+    mention_tbl = pa.Table.from_pydict({
+        "url": [f"http://b/{i}" for i in range(len(ments))],
+        "table_idx": pa.array([0] * len(ments), pa.int32()),
+        "row_idx": pa.array(list(range(len(ments))), pa.int32()),
+        "mention": ments, "context": ctx}, schema=L.MENTION_SCHEMA)
+    return rd.from_arrow(mention_tbl).repartition(num_blocks).materialize(), \
+        int(len(set(ments)))
+
+
+def _biglink_one() -> dict:
+    """One fresh-process biglink leg (mode from $GRAFT_BIGLINK_MODE):
+    build/reuse the index, stream the mention workload through
+    link_mentions, report wall seconds + an output checksum."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mannheimsearchjoinsengine_ray.config import PipelineConfig
+    from mannheimsearchjoinsengine_ray.sources.pages import (
+        make_scale_gazetteer_batch,
+    )
+    from mannheimsearchjoinsengine_ray.stages import link as L
+    from mannheimsearchjoinsengine_ray.state.index import (
+        build_index,
+        index_meta,
+    )
+
+    n_ent = int(os.environ.get("GRAFT_BIGLINK_ENTITIES", "200000"))
+    n_shards = int(os.environ.get("GRAFT_BIGLINK_SHARDS", "16"))
+    mode = os.environ.get("GRAFT_BIGLINK_MODE", "replicated")
+    index_dir = f"/tmp/graft_biglink_idx_{n_ent}_{n_shards}"
+    meta = index_meta(index_dir)
+    t0 = time.perf_counter()
+    if not (meta and meta.get("n_entries", 0) >= n_ent):
+        gaz = rd.range(n_ent).map_batches(make_scale_gazetteer_batch)
+        build_index(gaz, index_dir, num_shards=n_shards)
+        meta = index_meta(index_dir)
+    build_sec = time.perf_counter() - t0
+
+    n_rows = int(os.environ.get("GRAFT_BIGLINK_ROWS", "400000"))
+    mentions, distinct = _biglink_mentions(n_rows, NUM_CPUS * 2)
+
+    cfg = PipelineConfig(refine_attrs_factor=0.3,
+                         link_shard_route=(mode == "sharded"))
+    t0 = time.perf_counter()
+    edges = L.top1_links(L.link_mentions(mentions, index_dir, cfg)) \
+        .materialize()
+    sec = time.perf_counter() - t0
+    cnt = edges.count()
+    chk = sum(r["sum"] for r in edges.map_batches(
+        lambda t: pa.table({"sum": [float(
+            pa.compute.sum(pa.compute.round(
+                t.column("score"), ndigits=6)).as_py() or 0.0)]}),
+        batch_format="pyarrow").take_all())
+    ray.shutdown()
+    return {"mode": mode, "link_sec": round(sec, 2), "edges_top1": cnt,
+            "checksum": round(chk, 3), "index_build_sec": round(build_sec, 2),
+            "index_bytes": meta["bytes"], "index_shards": len(meta["shards"]),
+            "distinct_mentions": distinct, "mention_rows": n_rows,
+            "entities": n_ent}
+
+
+def run_biglink() -> dict:
+    """Large-gazetteer linking bench (round-4 verdict task 2): a
+    GRAFT_BIGLINK_ENTITIES-entity gazetteer (default 200k), head-entity-
+    skewed mention stream, link stage timed in BOTH index modes — each in
+    a FRESH process (worker index caches would cross-contaminate the legs)
+    — with an output checksum equality gate, plus fresh-process index-load
+    RSS for the per-worker memory story."""
+    def one(mode: str) -> dict:
+        env = dict(os.environ, GRAFT_BIGLINK_MODE=mode)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                              "--biglink-one"], env=env, capture_output=True,
+                             text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    rep = one("replicated")
+    sh = one("sharded")
+    assert rep["edges_top1"] == sh["edges_top1"] \
+        and abs(rep["checksum"] - sh["checksum"]) < 1e-3, (rep, sh)
+
+    n_ent = rep["entities"]
+    n_shards = rep["index_shards"]
+    index_dir = f"/tmp/graft_biglink_idx_{n_ent}_{n_shards}"
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from mannheimsearchjoinsengine_ray.state.index import index_meta
+
+    meta = index_meta(index_dir)
+    rss_full = _rss_probe(index_dir, None)
+    rss_shard = _rss_probe(index_dir, int(meta["shards"][0]))
+    return {
+        "metric": "biglink",
+        "entities": n_ent,
+        "mention_rows": rep["mention_rows"],
+        "distinct_mentions": rep["distinct_mentions"],
+        "num_cpus": NUM_CPUS,
+        "index_build_sec": max(rep["index_build_sec"], sh["index_build_sec"]),
+        "index_bytes": rep["index_bytes"],
+        "index_shards": n_shards,
+        "link_sec_replicated": rep["link_sec"],
+        "link_sec_sharded": sh["link_sec"],
+        "edges_top1": rep["edges_top1"],
+        "checksum_equal": True,
+        "load_full": rss_full,
+        "load_one_shard": rss_shard,
+    }
+
+
 def _canary_inner() -> float:
     import pyarrow.parquet as pq
 
@@ -188,6 +352,10 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--canary" in sys.argv:
         print(_canary_inner())
+    elif "--biglink-one" in sys.argv:
+        print(json.dumps(_biglink_one()))
+    elif "--biglink" in sys.argv:
+        print(json.dumps(run_biglink()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

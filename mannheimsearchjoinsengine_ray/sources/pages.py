@@ -131,6 +131,52 @@ def make_gazetteer(num_entities: int, ambiguous_pairs: int = 0) -> dict:
             "entity_type": types, "attrs": attrs}
 
 
+def _scale_word(i: int, salt: int) -> str:
+    """Deterministic pronounceable-ish token from a hash — base-26 letters."""
+    import hashlib
+
+    h = int.from_bytes(hashlib.blake2b(f"{salt}:{i}".encode(),
+                                       digest_size=6).digest(), "little")
+    out = []
+    for _ in range(5):
+        out.append(chr(ord("a") + h % 26))
+        h //= 26
+    return "".join(out)
+
+
+def make_scale_gazetteer_batch(batch) -> "dict":
+    """Batch generator for the LARGE-gazetteer bench (100k–1M entities):
+    ``rd.range(n).map_batches(make_scale_gazetteer_batch)``.
+
+    Labels are ``<word_a> <word_b> <eid>`` with word_a/word_b drawn from
+    4096-word pools, so token document frequency stays ~n/4096 (a real KB's
+    vocabulary grows with the KB; the toy ``make_gazetteer`` cycles ~20
+    adjectives/nouns, which at 200k entities gives every token df≈10k and
+    makes EVERY mention match 10k candidates — a vocabulary artifact, not a
+    linking workload)."""
+    eids = batch["id"].tolist() if hasattr(batch["id"], "tolist") \
+        else list(batch["id"])
+    uris, labels, aliases, types, attrs = [], [], [], [], []
+    for eid in eids:
+        eid = int(eid)
+        a = _scale_word(eid % 4096, 1)
+        b = _scale_word((eid // 7) % 4096, 2)
+        label = f"{a} {b} {eid}"
+        uris.append(NS + f"E{eid}")
+        labels.append(label)
+        aliases.append([label.upper()])
+        types.append(entity_type(eid))
+        attrs.append(entity_attrs(eid))
+    return {"entity_uri": uris, "label": labels, "aliases": aliases,
+            "entity_type": types, "attrs": attrs}
+
+
+def scale_gazetteer_label(eid: int) -> str:
+    a = _scale_word(eid % 4096, 1)
+    b = _scale_word((eid // 7) % 4096, 2)
+    return f"{a} {b} {eid}"
+
+
 # ---------------------------------------------------------------------------
 # Page spec
 # ---------------------------------------------------------------------------

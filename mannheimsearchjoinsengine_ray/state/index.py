@@ -8,14 +8,31 @@ fuzzy expansion (searchIndex :290-458).
 New design (SURVEY §2.3): the index is DATA, not a side effect —
 
   build:  entities Dataset → explode (alias → posting rows) → tokenize →
-          (token, entry_id, ...) posting Dataset → hash(token) % num_shards →
-          one Parquet file per shard (written in parallel, no shared writer).
-  serve:  each LinkerActor loads shard files once in __init__ into
-          dict[token] -> np.ndarray[entry ids] + idf table.  The gazetteer is
-          the SMALL side (≪ corpus) so full replication per actor is the
-          broadcast-small-side pattern; at larger gazetteer scale actors load
-          a shard subset and mentions route by their rarest token's shard
-          (documented partitioning assumption).
+          distinct (token, entry) posting Dataset → hash(ENTITY) %
+          num_shards → one Parquet file per shard (written in parallel, no
+          shared writer), plus a global term dictionary (``vocab/``: token →
+          document frequency) and ``_meta.json`` (global entry count, shard
+          list, byte size).
+  serve:  two modes —
+          * replicated (small gazetteer): each LinkerActor loads ALL shards
+            once in __init__ — the broadcast-small-side pattern.
+          * shard-routed (large KB): each serving task loads ONE shard =
+            a complete mini-index over 1/N of the entities (the Lucene
+            scatter-gather design, one index many searchers:
+            SJ/index/IndexManager.java:239-272).  Because entries are
+            ENTITY-sharded, a candidate's whole score accumulates inside
+            its home shard; with the build-time GLOBAL df/n_entries the
+            per-shard scores equal the full-index scores exactly, and the
+            gather step just concatenates candidate lists per mention.
+            Token-routed sharding (mentions to their rarest token's shard)
+            was rejected: a multi-token mention's idf contributions span
+            token shards, so no single shard can reproduce the full score.
+          Fuzzy expansion stays exact under sharding: the trigger "token
+          missing from the GLOBAL vocabulary" consults the term dictionary
+          (hash64-membership; 64-bit collisions are the documented
+          approximation), and each shard expands over its LOCAL vocabulary
+          only — the union over shards equals the full-index expansion
+          because a fuzzy token contributes only through its own postings.
 
 Schema of a posting row:
   (token, entry_id, entity_uri, name_norm, n_tokens, is_primary)
@@ -87,30 +104,174 @@ def postings_from_entities_batch(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pydict(cols, schema=POSTING_SCHEMA)
 
 
+_VOCAB_DIR = "vocab"
+_META_FILE = "_meta.json"
+
+
 def add_shard_column(batch: pa.Table, num_shards: int) -> pa.Table:
-    shard = hash64(batch.column("token").to_pylist()) % num_shards
+    """ENTITY-hash shard assignment: an entry (uri, name_norm) and all its
+    postings land on ONE shard, so each shard file is a complete mini-index
+    over 1/N of the entities (the shard-routed serving contract)."""
+    import pyarrow.compute as pc
+
+    ent = pc.binary_join_element_wise(
+        batch.column("entity_uri"), batch.column("name_norm"), "\x00")
+    shard = hash64(ent.to_pylist()) % num_shards
     return batch.append_column("shard", pa.array(shard.astype("int32")))
 
 
 def build_index(entities_ds, index_dir: str, num_shards: int = 8) -> int:
-    """Distributed index build: postings → shard groupby → parallel shard
-    writes.  Returns the number of postings."""
+    """Distributed index build: postings → distinct (token, entry) →
+    [global df per token → ``vocab/``] + [entity-shard groupby → one
+    Parquet file per shard] + ``_meta.json`` (global n_entries, live
+    shards, bytes).  Returns the number of distinct postings.
+
+    Three exchanges over the posting set (distinct, df aggregate, shard
+    groupby) — build-time cost, paid once per gazetteer; at small scale
+    each finishes on the driver under the aggregate guards."""
+    import json as _json
+    import shutil as _shutil
+
+    from ..stages.aggregates import dedupe_by_key, two_phase_agg
+
     os.makedirs(index_dir, exist_ok=True)
+    # a rebuild with fewer live shards must not leave stale files behind —
+    # the full-load LabelIndex globs shard_*.parquet
+    for f in os.listdir(index_dir):
+        if f.startswith("shard_") or f == _META_FILE:
+            os.remove(os.path.join(index_dir, f))
+    _shutil.rmtree(os.path.join(index_dir, _VOCAB_DIR), ignore_errors=True)
+
     postings = entities_ds.map_batches(postings_from_entities_batch,
                                        batch_format="pyarrow")
-    sharded = postings.map_batches(
-        lambda t: add_shard_column(t, num_shards), batch_format="pyarrow")
+
+    def add_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ent = pc.binary_join_element_wise(
+            t.column("entity_uri"), t.column("name_norm"), "\x00")
+        key = pc.binary_join_element_wise(t.column("token"), ent, "\x00")
+        return t.append_column("__key", key)
+
+    # duplicate gazetteer rows (same uri+norm) must collapse BEFORE df:
+    # document frequency is distinct-entry count per token — the serving
+    # structure factorizes to the same set, so idf stays bit-identical
+    # between the replicated and shard-routed paths
+    deduped = dedupe_by_key(
+        postings.map_batches(add_key, batch_format="pyarrow"),
+        "__key").materialize()
+    n_postings = deduped.count()
+
+    vocab_tmp = os.path.join(index_dir, _VOCAB_DIR + ".tmp")
+    vocab_dir = os.path.join(index_dir, _VOCAB_DIR)
+    _shutil.rmtree(vocab_tmp, ignore_errors=True)
+    df_ds = two_phase_agg(deduped, ["token"], {"df": (None, "count")})
+    df_ds.write_parquet(vocab_tmp)
+    _shutil.rmtree(vocab_dir, ignore_errors=True)
+    os.replace(vocab_tmp, vocab_dir)
+
+    sharded = deduped.map_batches(
+        lambda t: add_shard_column(t.drop_columns(["__key"]), num_shards),
+        batch_format="pyarrow")
 
     def write_shard(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         sid = int(group.column("shard")[0].as_py())
         out = group.drop_columns(["shard"]).sort_by([("token", "ascending")])
         tmp = os.path.join(index_dir, f"shard_{sid:04d}.parquet.tmp")
         pq.write_table(out, tmp)
         os.replace(tmp, os.path.join(index_dir, f"shard_{sid:04d}.parquet"))
-        return pa.table({"shard": [sid], "postings": [out.num_rows]})
+        # entity-sharding makes shard-local entry sets DISJOINT, so the
+        # global n_entries is the plain sum of per-shard distincts
+        ents = pc.binary_join_element_wise(
+            out.column("entity_uri"), out.column("name_norm"), "\x00")
+        return pa.table({"shard": [sid], "postings": [out.num_rows],
+                         "entries": [int(pc.count_distinct(ents).as_py())]})
 
-    stats = sharded.groupby("shard").map_groups(write_shard, batch_format="pyarrow")
-    return int(sum(r["postings"] for r in stats.take_all()))
+    stats = sharded.groupby("shard").map_groups(
+        write_shard, batch_format="pyarrow").take_all()
+    live = sorted(int(r["shard"]) for r in stats)
+    meta = {
+        "version": 1,
+        "sharding": "entity",
+        "num_shards": num_shards,
+        "shards": live,
+        "n_entries": int(sum(r["entries"] for r in stats)),
+        "postings": int(sum(r["postings"] for r in stats)),
+        "bytes": sum(os.path.getsize(os.path.join(index_dir, f))
+                     for f in os.listdir(index_dir)
+                     if f.startswith("shard_") and f.endswith(".parquet")),
+    }
+    tmp_meta = os.path.join(index_dir, _META_FILE + ".tmp")
+    with open(tmp_meta, "w") as fh:
+        _json.dump(meta, fh)
+    os.replace(tmp_meta, os.path.join(index_dir, _META_FILE))
+    return meta["postings"]
+
+
+def index_meta(index_dir: str) -> dict | None:
+    """The build's ``_meta.json`` (None for a pre-meta or missing index)."""
+    import json as _json
+
+    try:
+        with open(os.path.join(index_dir, _META_FILE)) as fh:
+            return _json.load(fh)
+    except (FileNotFoundError, ValueError):
+        return None
+
+
+class VocabStats:
+    """The global term dictionary (token → document frequency) + global
+    entry count, loaded once per worker process and shared by every shard
+    index of the same ``index_dir``.  Membership/df lookups go through a
+    sorted hash64 array — ~12 bytes per vocabulary token, the only global
+    state a shard-routed worker holds (the postings + entry metadata, which
+    dominate the index, stay 1/N per shard)."""
+
+    def __init__(self, index_dir: str):
+        meta = index_meta(index_dir)
+        if meta is None:
+            raise FileNotFoundError(f"no {_META_FILE} under {index_dir}")
+        self.n_entries = max(1, int(meta["n_entries"]))
+        vdir = os.path.join(index_dir, _VOCAB_DIR)
+        files = [os.path.join(vdir, f) for f in sorted(os.listdir(vdir))
+                 if f.endswith(".parquet")]
+        tabs = [pq.read_table(f, columns=["token", "df"]) for f in files]
+        t = pa.concat_tables(tabs) if tabs else pa.table(
+            {"token": pa.array([], pa.string()),
+             "df": pa.array([], pa.int64())})
+        hashes = hash64(t.column("token").to_pylist()).astype(np.uint64)
+        order = np.argsort(hashes, kind="stable")
+        self._h = hashes[order]
+        self._df = t.column("df").to_numpy(zero_copy_only=False)[order] \
+            .astype(np.int64)
+
+    def df_of(self, token: str) -> int:
+        h = hash64([token])[0]
+        i = int(np.searchsorted(self._h, h))
+        if i < len(self._h) and self._h[i] == h:
+            return int(self._df[i])
+        return 0
+
+    def contains(self, token: str) -> bool:
+        h = hash64([token])[0]
+        i = int(np.searchsorted(self._h, h))
+        return i < len(self._h) and self._h[i] == h
+
+
+_VOCAB_CACHE: dict[str, VocabStats] = {}
+
+
+def vocab_stats_for(index_dir: str) -> VocabStats:
+    """Per-process VocabStats cache (Ray reuses worker processes)."""
+    v = _VOCAB_CACHE.get(index_dir)
+    if v is None:
+        if len(_VOCAB_CACHE) > 4:
+            _VOCAB_CACHE.clear()
+        v = VocabStats(index_dir)
+        _VOCAB_CACHE[index_dir] = v
+    return v
 
 
 class LabelIndex:
@@ -118,7 +279,8 @@ class LabelIndex:
     actor).  Mirrors IValueIndex (SJ/index/IValueIndex.java:7-11) with
     TF-IDF scoring in place of Lucene BM25."""
 
-    def __init__(self, index_dir: str, shards: list[int] | None = None):
+    def __init__(self, index_dir: str, shards: list[int] | None = None,
+                 vocab: VocabStats | None = None):
         files = sorted(
             os.path.join(index_dir, f) for f in os.listdir(index_dir)
             if f.startswith("shard_") and f.endswith(".parquet")
@@ -171,11 +333,23 @@ class LabelIndex:
             tok: np.unique(g.to_numpy()).astype(np.int64)
             for tok, g in df.groupby("token", sort=False)["eid"]
         }
-        n_entries = max(1, len(self.entries_uri))
-        self.idf: dict[str, float] = {
-            t: float(np.log1p(n_entries / len(ids)))
-            for t, ids in self.postings.items()
-        }
+        # shard-routed serving (``vocab`` given): idf from the GLOBAL term
+        # dictionary + global entry count so a shard's per-candidate scores
+        # equal the full-index scores exactly (local df under-counts a token
+        # whose entries span shards — entity sharding spreads a token's
+        # postings even though each ENTRY stays whole)
+        self._vocab = vocab
+        if vocab is not None:
+            self.idf = {
+                t: float(np.log1p(vocab.n_entries / max(1, vocab.df_of(t))))
+                for t in self.postings
+            }
+        else:
+            n_entries = max(1, len(self.entries_uri))
+            self.idf = {
+                t: float(np.log1p(n_entries / len(ids)))
+                for t, ids in self.postings.items()
+            }
         # (first_char, length) buckets for bounded fuzzy expansion
         self._fuzzy_buckets: dict[tuple[str, int], list[str]] = defaultdict(list)
         for t in self.postings:
@@ -218,6 +392,13 @@ class LabelIndex:
         acc: dict[int, float] = defaultdict(float)
         for t in tokset:
             ids = self.postings.get(t)
+            if ids is None and self._vocab is not None \
+                    and self._vocab.contains(t):
+                # the token exists in the GLOBAL vocabulary — its exact
+                # postings live on another shard, so this shard contributes
+                # nothing (and must NOT fuzzy-expand: the full index would
+                # have taken the exact branch)
+                continue
             if ids is None and fuzzy:
                 for ft in self.fuzzy_expand(t, max_edit):
                     fids = self.postings[ft]
@@ -245,78 +426,32 @@ class LabelIndex:
 
     def context_bonus(self, eid: int, context_toksets: list[set[str]],
                       refine_factor: float) -> float:
-        """Refine-attrs term (ScoreEvaluator.assessIndexEntry,
-        SJ/scoring/ScoreEvaluator.java:24-33): for each sibling cell of the
-        query row, the best token-Jaccard against the entity's own attribute
-        values counts as a refine hit when >= 0.5 (the cell value 'appears in
-        that entity's row'); hit scores sum, weighted by refineAttrsFactor."""
-        attrs = self.entries_attrs[eid]
-        if not attrs or not context_toksets:
-            return 0.0
-        bonus = 0.0
-        for ctoks in context_toksets:
-            if not ctoks:
-                continue
-            best = 0.0
-            for atoks in attrs:
-                j = jaccard(ctoks, atoks)
-                if j > best:
-                    best = j
-            if best >= 0.5:
-                bonus += best
-        return refine_factor * bonus
+        """Refine-attrs term for one entry — delegates to the pure
+        :func:`context_bonus_for` over the entry's attr token sets."""
+        return context_bonus_for(self.entries_attrs[eid], context_toksets,
+                                 refine_factor)
+
+    def search_candidates(self, mention: str, fuzzy: bool = True,
+                          max_edit: int = 1) -> list[tuple]:
+        """Context-independent candidate scan in the index-free CANDIDATE
+        form: [(entity_uri, base_score, name_norm, entity_type,
+        attrs_toksets)] — everything :func:`finalize_candidates` needs, so
+        shard partials can merge and context-rescore without any index."""
+        return [(self.entries_uri[eid], s, self.entries_norm[eid],
+                 self.entries_type[eid], self.entries_attrs[eid])
+                for eid, s in self.search_scored(mention, fuzzy, max_edit)]
 
     def finalize(self, scored: list[tuple[int, float]], top_k: int,
                  context: list[str] | None = None,
                  refine_factor: float = 0.0
                  ) -> list[tuple[str, float, str, str]]:
-        """(entry_id, base) candidates → deduped top-k
-        [(entity_uri, score, matched_name_norm, entity_type)] with the
-        refine-attrs context term blended in.
-
-        Short-circuit: tokenizing the row context dominates linker cost
-        (measured 3.6× at sf0.01), so the context term is only computed when
-        it COULD change the top entity — ≥2 candidates, at least one with
-        indexed attrs, and a top-two base-score margin within the maximum
-        attainable bonus (refine_factor × context cells).  When skipped, the
-        reported scores are the base scores (the top-1 decision is
-        invariant)."""
-        use_ctx = bool(context) and refine_factor > 0.0 and len(scored) > 1
-        if use_ctx:
-            cells = [c for c in context if c and c != "null"]
-            max_bonus = refine_factor * len(cells)
-            if not cells:
-                use_ctx = False
-            else:
-                top2 = sorted(s for _, s in scored)[-2:]
-                if top2[1] - top2[0] > max_bonus:
-                    use_ctx = False
-                elif not any(self.entries_attrs[eid] for eid, _ in scored):
-                    use_ctx = False
-        if use_ctx:
-            ctoksets = [set(tokenize_string(c, remove_brackets=True))
-                        for c in cells]
-            results = [(eid, s + self.context_bonus(eid, ctoksets, refine_factor))
-                       for eid, s in scored]
-        else:
-            results = scored
-        rows = [(self.entries_uri[eid], score, self.entries_norm[eid],
-                 self.entries_type[eid]) for eid, score in results]
-        # rank by the score ROUNDED to 9 decimals with uri tie-break — the
-        # exact ordering the SQL oracle uses, so a float-summation drift
-        # inside the rounding window can never flip the top-1 between sides
-        rows.sort(key=lambda r: (-round(r[1], 9), r[0]))
-        # dedup per entity uri keeping best name (per-(value,table) dedup analog)
-        seen: set[str] = set()
-        out = []
-        for uri, score, name, etype in rows:
-            if uri in seen:
-                continue
-            seen.add(uri)
-            out.append((uri, score, name, etype))
-            if len(out) >= top_k:
-                break
-        return out
+        """(entry_id, base) candidates → deduped top-k via the pure
+        :func:`finalize_candidates` (same semantics, shared with the
+        shard-routed gather so the two paths cannot drift)."""
+        cands = [(self.entries_uri[eid], s, self.entries_norm[eid],
+                  self.entries_type[eid], self.entries_attrs[eid])
+                 for eid, s in scored]
+        return finalize_candidates(cands, top_k, context, refine_factor)
 
     def search(self, mention: str, top_k: int = 10, fuzzy: bool = True,
                max_edit: int = 1, context: list[str] | None = None,
@@ -327,6 +462,82 @@ class LabelIndex:
         refine-attrs term per assessIndexEntry."""
         return self.finalize(self.search_scored(mention, fuzzy, max_edit),
                              top_k, context, refine_factor)
+
+
+def context_bonus_for(attrs: tuple, context_toksets: list[set[str]],
+                      refine_factor: float) -> float:
+    """Refine-attrs term (ScoreEvaluator.assessIndexEntry,
+    SJ/scoring/ScoreEvaluator.java:24-33): for each sibling cell of the
+    query row, the best token-Jaccard against the entity's own attribute
+    values counts as a refine hit when >= 0.5 (the cell value 'appears in
+    that entity's row'); hit scores sum, weighted by refineAttrsFactor."""
+    if not attrs or not context_toksets:
+        return 0.0
+    bonus = 0.0
+    for ctoks in context_toksets:
+        if not ctoks:
+            continue
+        best = 0.0
+        for atoks in attrs:
+            j = jaccard(ctoks, atoks)
+            if j > best:
+                best = j
+        if best >= 0.5:
+            bonus += best
+    return refine_factor * bonus
+
+
+def finalize_candidates(cands: list[tuple], top_k: int,
+                        context: list[str] | None = None,
+                        refine_factor: float = 0.0
+                        ) -> list[tuple[str, float, str, str]]:
+    """[(uri, base_score, name_norm, entity_type, attrs_toksets)] → deduped
+    top-k [(entity_uri, score, matched_name_norm, entity_type)] with the
+    refine-attrs context term blended in.  Pure — no index state — so the
+    shard-routed gather and the merge-stage context re-score run it over
+    candidate payloads directly.
+
+    Short-circuit: tokenizing the row context dominates linker cost
+    (measured 3.6× at sf0.01), so the context term is only computed when
+    it COULD change the top entity — ≥2 candidates, at least one with
+    indexed attrs, and a top-two base-score margin within the maximum
+    attainable bonus (refine_factor × context cells).  When skipped, the
+    reported scores are the base scores (the top-1 decision is
+    invariant)."""
+    use_ctx = bool(context) and refine_factor > 0.0 and len(cands) > 1
+    if use_ctx:
+        cells = [c for c in context if c and c != "null"]
+        max_bonus = refine_factor * len(cells)
+        if not cells:
+            use_ctx = False
+        else:
+            top2 = sorted(c[1] for c in cands)[-2:]
+            if top2[1] - top2[0] > max_bonus:
+                use_ctx = False
+            elif not any(c[4] for c in cands):
+                use_ctx = False
+    if use_ctx:
+        ctoksets = [set(tokenize_string(c, remove_brackets=True))
+                    for c in cells]
+        rows = [(u, s + context_bonus_for(a, ctoksets, refine_factor), n, e)
+                for u, s, n, e, a in cands]
+    else:
+        rows = [(u, s, n, e) for u, s, n, e, _ in cands]
+    # rank by the score ROUNDED to 9 decimals with uri tie-break — the
+    # exact ordering the SQL oracle uses, so a float-summation drift
+    # inside the rounding window can never flip the top-1 between sides
+    rows.sort(key=lambda r: (-round(r[1], 9), r[0]))
+    # dedup per entity uri keeping best name (per-(value,table) dedup analog)
+    seen: set[str] = set()
+    out = []
+    for uri, score, name, etype in rows:
+        if uri in seen:
+            continue
+        seen.add(uri)
+        out.append((uri, score, name, etype))
+        if len(out) >= top_k:
+            break
+    return out
 
 
 def clear_mention(mention: str) -> str:

@@ -35,10 +35,15 @@ def index_dir(ray_session, tmp_path_factory):
 def test_index_build_sharded(index_dir):
     import os
 
-    shards = [f for f in os.listdir(index_dir) if f.endswith(".parquet")]
-    assert len(shards) >= 2  # token-hash spread across shards
+    shards = [f for f in os.listdir(index_dir)
+              if f.startswith("shard_") and f.endswith(".parquet")]
+    assert len(shards) >= 2  # entity-hash spread across shards
     idx = IX.LabelIndex(index_dir)
     assert len(idx.entries_uri) > 500  # labels + distinct alias norms
+    meta = IX.index_meta(index_dir)
+    assert meta["sharding"] == "entity"
+    assert meta["n_entries"] == len(idx.entries_uri)
+    assert meta["bytes"] > 0 and sorted(meta["shards"]) == meta["shards"]
 
 
 def test_search_exact_and_fuzzy(index_dir):
@@ -547,6 +552,109 @@ def test_link_mentions_broadcast_fallback_pool_equivalence(ray_session, tmp_path
     c = norm(L.top1_links(pool).to_pandas())
     pd.testing.assert_frame_equal(a, b)
     pd.testing.assert_frame_equal(a, c)
+
+
+def test_shard_routed_index_exact_scores(ray_session, tmp_path):
+    """Each entity shard + the global term dictionary must reproduce the
+    full index's idf table exactly, and a shard must NOT fuzzy-expand a
+    token whose exact postings live on another shard (the global-vocab
+    trigger) — the invariants that make shard-routed scores equal the
+    full-index scores."""
+    import ray.data as rd
+
+    d = str(tmp_path / "idx_exact")
+    gaz = rd.from_arrow(pa.table(P.make_gazetteer(80)))
+    IX.build_index(gaz, d, num_shards=4)
+    full = IX.LabelIndex(d)
+    vocab = IX.VocabStats(d)
+    assert vocab.n_entries == len(full.entries_uri)
+    seen_tokens = set()
+    for s in IX.index_meta(d)["shards"]:
+        sh = IX.LabelIndex(d, shards=[s], vocab=vocab)
+        for t, v in sh.idf.items():
+            assert abs(v - full.idf[t]) < 1e-12, t
+        seen_tokens.update(sh.postings)
+        # candidate scores per shard == full-index scores, keyed by ENTRY
+        # (uri, matched norm) — one uri's label and alias entries can land
+        # on different shards
+        for eid in range(0, 80, 7):
+            label = P.entity_label(eid)
+            want = {(u, nm): round(sc, 9) for u, sc, nm, *_ in
+                    full.search_candidates(label)}
+            for u, sc, nm, *_ in sh.search_candidates(label):
+                assert round(sc, 9) == want[(u, nm)], (label, u, nm)
+    assert seen_tokens == set(full.postings)
+    # global-vocab fuzzy trigger: a token exact-present only on OTHER shards
+    # must contribute nothing here, not fuzzy-expand
+    from mannheimsearchjoinsengine_ray.functions.normalize import (
+        tokenize_string,
+    )
+
+    s0 = IX.index_meta(d)["shards"][0]
+    sh0 = IX.LabelIndex(d, shards=[s0], vocab=vocab)
+    remote_only = next(t for t in sorted(set(full.postings)
+                                         - set(sh0.postings))
+                       if tokenize_string(t) == [t])
+    assert vocab.contains(remote_only)
+    assert vocab.df_of(remote_only) == len(full.postings[remote_only])
+    assert sh0.search_scored(remote_only, fuzzy=True) == []
+    # ...while the full index scores it exactly (no fuzzy detour either way)
+    assert full.search_scored(remote_only, fuzzy=True)
+
+
+def test_link_mentions_shard_routed_equivalence(ray_session, tmp_path):
+    """Shard-routed resolve (scatter-gather over entity shards) must emit
+    IDENTICAL edges to the replicated-index path, through both the
+    broadcast merge and the co-partitioned bucket merge — including fuzzy,
+    unicode, zero-candidate mentions and context-gated rows (round-4
+    verdict task 1's done-gate)."""
+    import dataclasses
+
+    import ray.data as rd
+
+    d = str(tmp_path / "idx_route")
+    gaz = rd.from_arrow(pa.table(P.make_gazetteer(60)))
+    IX.build_index(gaz, d, num_shards=4)
+
+    labels = [P.entity_label(i) for i in range(25)]
+    ments = labels + ["Zürich 北京 café", "—", "null", "nocandidate zz"] \
+        + [l.upper() for l in labels[:5]] + [l[:-1] + "x" for l in labels[:5]]
+    rows = {"url": [], "table_idx": [], "row_idx": [], "mention": [],
+            "context": []}
+    for i, m in enumerate(ments * 8):
+        rows["url"].append(f"http://u/{i}")
+        rows["table_idx"].append(0)
+        rows["row_idx"].append(i)
+        rows["mention"].append(m)
+        rows["context"].append("red\x1f42" if i % 3 == 0 else "")
+    ds = rd.from_arrow(pa.Table.from_pydict(
+        rows, schema=L.MENTION_SCHEMA)).repartition(6)
+
+    def norm(df):
+        df = df.copy()
+        df["score"] = df["score"].round(9)  # the canonical ranking rounding
+        return df.sort_values(["url", "row_idx", "rank", "entity_uri"]) \
+            .reset_index(drop=True)
+
+    cfg = PipelineConfig(refine_attrs_factor=0.3)
+    a = norm(L.link_mentions(ds, d, cfg).to_pandas())
+    assert len(a) > 0
+    b = norm(L.link_mentions(
+        ds, d, dataclasses.replace(cfg, link_shard_route=True)).to_pandas())
+    c = norm(L.link_mentions(
+        ds, d, dataclasses.replace(cfg, link_shard_route=True,
+                                   link_broadcast_limit=0)).to_pandas())
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
+
+    # auto mode: a toy index stays replicated; forcing shard-route on a
+    # meta-less dir is a loud error, not silent full loads
+    assert IX.index_meta(d)["bytes"] < cfg.link_index_replicate_limit
+    import os
+    os.remove(os.path.join(d, "_meta.json"))
+    with pytest.raises(ValueError):
+        L.link_mentions(ds, d,
+                        dataclasses.replace(cfg, link_shard_route=True))
 
 
 def test_distinct_mentions_from_tables_matches_mention_map(ray_session):
