@@ -83,7 +83,8 @@ def materialize_triples(triples, out_dir: str,
                         num_partitions: int = 16,
                         fingerprint: str = "",
                         run_compression: str | None = None,
-                        split_rows: int | None = None) -> list[dict]:
+                        split_rows: int | None = None,
+                        fs=None) -> list[dict]:
     """Write triples into hash(subj) partitions, sorted, atomic, manifested.
 
     Two-stage DISK exchange instead of Ray's sort shuffle (which cost 7.1 s
@@ -130,19 +131,26 @@ def materialize_triples(triples, out_dir: str,
     its key range and writes one sorted ``data-{j:05d}.parquet`` into the
     partition's staging dir, and the driver commits the rename + manifest
     once — the partition directory stays the unit of commit.
+
+    ``fs``: optional ``pyarrow.fs.FileSystem`` for ``out_dir`` (runs dir,
+    partition dirs, manifests) — the "runs dir on shared storage" story.
+    ``None`` keeps the POSIX fast path (``os.replace`` renames,
+    memory-mapped IPC reads); see ``state/fsio.py``.  pyarrow filesystems
+    pickle, so the split/merge task closures carry it.
     """
     import json as _json
-    import shutil as _shutil
     import uuid
 
     import ray.data as rd
+
+    from ..state import fsio
 
     if run_compression is None:
         run_compression = os.environ.get("GRAFT_RUN_COMPRESSION",
                                          "uncompressed")
     runs_dir = os.path.join(out_dir, "_runs")
-    _shutil.rmtree(runs_dir, ignore_errors=True)
-    os.makedirs(runs_dir, exist_ok=True)
+    fsio.rmtree(fs, runs_dir)
+    fsio.makedirs(fs, runs_dir)
 
     def split_write(batch: pa.Table) -> pa.Table:
         import numpy as np
@@ -173,7 +181,7 @@ def materialize_triples(triples, out_dir: str,
             {b"parts": _json.dumps(batch_map).encode()})
         run_id = uuid.uuid4().hex
         tmp = os.path.join(runs_dir, f"run-{run_id}.arrow.tmp")
-        with pa.OSFile(tmp, "wb") as fh:
+        with fsio.open_output(fs, tmp) as fh:
             with pa.ipc.new_file(fh, schema, options=ipc_opts) as writer:
                 for s, e in zip(starts, ends):
                     # combine_chunks above ⇒ exactly one batch per slice,
@@ -181,7 +189,7 @@ def materialize_triples(triples, out_dir: str,
                     rbs = sorted_tbl.slice(s, e - s).to_batches()
                     assert len(rbs) == 1, len(rbs)
                     writer.write_batch(rbs[0])
-        os.replace(tmp, tmp[:-4])
+        fsio.move(fs, tmp, tmp[:-4])
         return pa.table({"partition": pa.array(parts_out, pa.int64()),
                          "rows": pa.array(rows_out, pa.int64()),
                          "run_id": pa.array([run_id] * len(parts_out))})
@@ -213,7 +221,7 @@ def materialize_triples(triples, out_dir: str,
         split_rows = int(os.environ.get("GRAFT_PART_SPLIT_ROWS", 4_000_000))
 
     def _read_part_batch(path: str, p: int) -> pa.Table | None:
-        with pa.memory_map(path) as src:
+        with fsio.open_input(fs, path) as src:
             rdr = pa.ipc.open_file(src)
             bm = _json.loads(rdr.schema.metadata[b"parts"])
             i = bm.get(str(p))
@@ -275,8 +283,8 @@ def materialize_triples(triples, out_dir: str,
             if bnds:  # all-equal keys can't range-split → single-task path
                 boundaries[p] = bnds
                 tmp_dir = os.path.join(out_dir, f"part={p:05d}.tmp")
-                _shutil.rmtree(tmp_dir, ignore_errors=True)
-                os.makedirs(tmp_dir, exist_ok=True)
+                fsio.rmtree(fs, tmp_dir)
+                fsio.makedirs(fs, tmp_dir)
         _log.info("skew split: %d heavy partition(s) > %d rows → %s sub-files",
                   len(boundaries), split_rows,
                   {p: len(b) + 1 for p, b in boundaries.items()})
@@ -310,7 +318,8 @@ def materialize_triples(triples, out_dir: str,
                     chunks.append(t)
             table = pa.concat_tables(chunks)
             if sub < 0:
-                manifest = mat.write_partition(table, out_dir, p, fingerprint)
+                manifest = mat.write_partition(table, out_dir, p, fingerprint,
+                                               fs=fs)
                 out["partition"].append(p); out["sub"].append(-1)
                 out["rows"].append(manifest["rows"])
                 out["distinct"].append(manifest["distinct_subjects"])
@@ -329,9 +338,9 @@ def materialize_triples(triples, out_dir: str,
                 table = table.sort_by([("subj", "ascending"),
                                        ("pred", "ascending")])
                 tmp_dir = os.path.join(out_dir, f"part={p:05d}.tmp")
-                import pyarrow.parquet as pq
-                pq.write_table(
-                    table, os.path.join(tmp_dir, f"data-{sub:05d}.parquet"))
+                fsio.write_parquet(
+                    fs, table,
+                    os.path.join(tmp_dir, f"data-{sub:05d}.parquet"))
             subj_col = table.column("subj")
             out["partition"].append(p); out["sub"].append(sub)
             out["rows"].append(n)
@@ -372,11 +381,12 @@ def materialize_triples(triples, out_dir: str,
                 1 for a, b in zip(subs, subs[1:])
                 if a["max_subj"] == b["min_subj"])
             manifest = mat.commit_partition_dir(
-                out_dir, p, rows, distinct, fingerprint, files=len(subs))
+                out_dir, p, rows, distinct, fingerprint, files=len(subs),
+                fs=fs)
             stats.append({"partition": manifest["partition"],
                           "rows": manifest["rows"]})
         stats.sort(key=lambda m: m["partition"])
-    _shutil.rmtree(runs_dir, ignore_errors=True)
+    fsio.rmtree(fs, runs_dir)
     return stats
 
 
@@ -388,16 +398,18 @@ def _shard_manifest_path(out_dir: str, shard: int) -> str:
     return os.path.join(out_dir, f"shard_manifest_{shard:05d}.json")
 
 
-def completed_shards(out_dir: str) -> set[int]:
-    if not os.path.isdir(out_dir):
+def completed_shards(out_dir: str, fs=None) -> set[int]:
+    from ..state import fsio
+
+    if not fsio.isdir(fs, out_dir):
         return set()
     done = set()
-    for f in os.listdir(out_dir):
+    for f in fsio.listdir(fs, out_dir):
         if f.startswith("shard_manifest_") and f.endswith(".json"):
+            m = fsio.read_json(fs, os.path.join(out_dir, f))
             try:
-                with open(os.path.join(out_dir, f)) as fh:
-                    done.add(int(json.load(fh)["shard"]))
-            except (ValueError, KeyError, json.JSONDecodeError):
+                done.add(int(m["shard"]))
+            except (TypeError, ValueError, KeyError):
                 continue
     return done
 
@@ -415,10 +427,15 @@ def run_resumable(pages_path: str, out_dir: str,
                   cfg: PipelineConfig = DEFAULT_CONFIG,
                   num_shards: int | None = None,
                   partitions_per_shard: int = 4,
-                  fail_after_shards: int | None = None) -> dict:
+                  fail_after_shards: int | None = None,
+                  fs=None) -> dict:
     """Sharded, resumable end-to-end run.  ``fail_after_shards`` injects a
-    crash for the resume test (FIXTURES F8)."""
-    os.makedirs(out_dir, exist_ok=True)
+    crash for the resume test (FIXTURES F8).  ``fs`` routes all OUTPUT I/O
+    (partitions, runs, manifests) through a ``pyarrow.fs.FileSystem``; the
+    INPUT corpus stays a driver-local/Ray-readable path."""
+    from ..state import fsio
+
+    fsio.makedirs(fs, out_dir)
     frags = list_page_fragments(pages_path)
     if num_shards is None:
         num_shards = len(frags)
@@ -427,7 +444,7 @@ def run_resumable(pages_path: str, out_dir: str,
     for i, f in enumerate(frags):
         shards[i % num_shards].append(f)
 
-    done = completed_shards(out_dir)
+    done = completed_shards(out_dir, fs=fs)
     metrics = {"shards_total": num_shards, "shards_skipped": len(done),
                "shards_run": 0, "rows_written": 0}
     t0 = time.time()
@@ -440,6 +457,7 @@ def run_resumable(pages_path: str, out_dir: str,
         part_stats = materialize_triples(
             triples, shard_dir, num_partitions=partitions_per_shard,
             fingerprint=";".join(os.path.basename(f) for f in frag_group),
+            fs=fs,
         )
         rows = sum(m["rows"] for m in part_stats)
         manifest = {
@@ -449,10 +467,7 @@ def run_resumable(pages_path: str, out_dir: str,
             "rows": rows,
             "completed_at": time.time(),
         }
-        mp = _shard_manifest_path(out_dir, si)
-        with open(mp + ".tmp", "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(mp + ".tmp", mp)
+        fsio.write_json_atomic(fs, _shard_manifest_path(out_dir, si), manifest)
         metrics["shards_run"] += 1
         metrics["rows_written"] += rows
         ran += 1
@@ -680,21 +695,24 @@ def run_full(pages_path: str, out_dir: str,
     return metrics
 
 
-def read_output(out_dir: str):
+def read_output(out_dir: str, fs=None):
     """All committed triples (only shards with manifests)."""
     import ray.data as rd
 
-    done = completed_shards(out_dir)
+    from ..state import fsio
+
+    done = completed_shards(out_dir, fs=fs)
     paths = []
     for si in sorted(done):
         shard_dir = os.path.join(out_dir, f"shard={si:05d}")
-        for d in sorted(os.listdir(shard_dir)):
+        for d in fsio.listdir(fs, shard_dir):
             if d.startswith("part=") and not d.endswith(".tmp"):
                 part_dir = os.path.join(shard_dir, d)
                 paths.extend(
-                    os.path.join(part_dir, f) for f in sorted(os.listdir(part_dir))
+                    os.path.join(part_dir, f)
+                    for f in fsio.listdir(fs, part_dir)
                     if f.endswith(".parquet")
                 )
     if not paths:
         raise FileNotFoundError(f"no completed shards under {out_dir}")
-    return rd.read_parquet(paths)
+    return rd.read_parquet(paths, filesystem=fs)

@@ -12,18 +12,21 @@ searchJoins.conf:103-109 misc.reuse*) with the north-rule design:
     JSON manifest (row count, partition id, input fingerprint) is written —
     the MANIFEST, not the data file, is the commit record;
   * resume = list manifests, skip completed partitions.
+
+All functions take ``fs: pyarrow.fs.FileSystem | None`` (default None = the
+POSIX fast path) so the output directory can live on shared/object storage —
+see ``state/fsio.py`` for the indirection and its atomicity notes.
 """
 
 from __future__ import annotations
 
-import json
 import os
-import shutil
 import time
 
 import pyarrow as pa
 
 from ..functions.hashing import hash64
+from ..state import fsio
 
 
 def add_partition_column(batch: pa.Table, num_partitions: int,
@@ -36,17 +39,16 @@ def manifest_path(out_dir: str, part: int) -> str:
     return os.path.join(out_dir, f"manifest_part{part:05d}.json")
 
 
-def completed_partitions(out_dir: str) -> set[int]:
-    if not os.path.isdir(out_dir):
+def completed_partitions(out_dir: str, fs=None) -> set[int]:
+    if not fsio.isdir(fs, out_dir):
         return set()
     done = set()
-    for f in os.listdir(out_dir):
+    for f in fsio.listdir(fs, out_dir):
         if f.startswith("manifest_part") and f.endswith(".json"):
+            m = fsio.read_json(fs, os.path.join(out_dir, f))
             try:
-                with open(os.path.join(out_dir, f)) as fh:
-                    m = json.load(fh)
                 done.add(int(m["partition"]))
-            except (ValueError, KeyError, json.JSONDecodeError):
+            except (TypeError, ValueError, KeyError):
                 continue
     return done
 
@@ -54,7 +56,7 @@ def completed_partitions(out_dir: str) -> set[int]:
 def commit_partition_dir(out_dir: str, part: int, rows: int,
                          distinct_subjects: int,
                          input_fingerprint: str = "",
-                         files: int = 1) -> dict:
+                         files: int = 1, fs=None) -> dict:
     """Atomic commit of an already-written ``part=P.tmp`` staging directory:
     rename to ``part=P``, then write the JSON manifest (the commit record).
     Shared by the single-task path (:func:`write_partition`) and the
@@ -62,9 +64,9 @@ def commit_partition_dir(out_dir: str, part: int, rows: int,
     into the staging dir and the driver commits once all have reported."""
     part_dir = os.path.join(out_dir, f"part={part:05d}")
     tmp_dir = part_dir + ".tmp"
-    if os.path.isdir(part_dir):
-        shutil.rmtree(part_dir)
-    os.replace(tmp_dir, part_dir)
+    if fsio.isdir(fs, part_dir):
+        fsio.rmtree(fs, part_dir)
+    fsio.move(fs, tmp_dir, part_dir)
 
     manifest = {
         "partition": part,
@@ -74,54 +76,49 @@ def commit_partition_dir(out_dir: str, part: int, rows: int,
         "files": files,
         "completed_at": time.time(),
     }
-    mp = manifest_path(out_dir, part)
-    tmp_mp = mp + ".tmp"
-    with open(tmp_mp, "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(tmp_mp, mp)
+    fsio.write_json_atomic(fs, manifest_path(out_dir, part), manifest)
     return manifest
 
 
 def write_partition(table: pa.Table, out_dir: str, part: int,
-                    input_fingerprint: str = "") -> dict:
+                    input_fingerprint: str = "", fs=None) -> dict:
     """Atomically write one sorted partition + its manifest; returns metrics.
 
     Runs inside a Ray task (one per partition) — partition-parallel, no shared
     writer (vs the reference's synchronized single IndexWriter/SequenceFile
     writer, SJ/hadoop/SynchronizedSequenceFileWriter).
     """
-    os.makedirs(out_dir, exist_ok=True)
+    fsio.makedirs(fs, out_dir)
     if "part" in table.column_names:
         table = table.drop_columns(["part"])
     table = table.sort_by([("subj", "ascending"), ("pred", "ascending")])
 
     part_dir = os.path.join(out_dir, f"part={part:05d}")
     tmp_dir = part_dir + ".tmp"
-    if os.path.isdir(tmp_dir):
-        shutil.rmtree(tmp_dir)
-    os.makedirs(tmp_dir)
-    import pyarrow.parquet as pq
-    pq.write_table(table, os.path.join(tmp_dir, "data.parquet"))
+    if fsio.isdir(fs, tmp_dir):
+        fsio.rmtree(fs, tmp_dir)
+    fsio.makedirs(fs, tmp_dir)
+    fsio.write_parquet(fs, table, os.path.join(tmp_dir, "data.parquet"))
 
     import pyarrow.compute as pc
 
     distinct = (int(pc.count_distinct(table.column("subj")).as_py())
                 if table.num_rows else 0)
     return commit_partition_dir(out_dir, part, table.num_rows, distinct,
-                                input_fingerprint)
+                                input_fingerprint, fs=fs)
 
 
-def read_materialized(out_dir: str):
+def read_materialized(out_dir: str, fs=None):
     """Read back all completed partitions as one Dataset."""
     import ray.data as rd
 
     # expand to files: Ray treats list entries as files, not directories,
     # and a skew-split partition holds several range-sorted data-*.parquet
     paths = []
-    for d in sorted(os.listdir(out_dir)):
+    for d in fsio.listdir(fs, out_dir):
         if d.startswith("part=") and not d.endswith(".tmp"):
             part_dir = os.path.join(out_dir, d)
             paths.extend(os.path.join(part_dir, f)
-                         for f in sorted(os.listdir(part_dir))
+                         for f in fsio.listdir(fs, part_dir)
                          if f.endswith(".parquet"))
-    return rd.read_parquet(paths)
+    return rd.read_parquet(paths, filesystem=fs)

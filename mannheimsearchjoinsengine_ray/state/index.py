@@ -120,7 +120,8 @@ def add_shard_column(batch: pa.Table, num_shards: int) -> pa.Table:
     return batch.append_column("shard", pa.array(shard.astype("int32")))
 
 
-def build_index(entities_ds, index_dir: str, num_shards: int = 8) -> int:
+def build_index(entities_ds, index_dir: str, num_shards: int = 8,
+                fs=None) -> int:
     """Distributed index build: postings → distinct (token, entry) →
     [global df per token → ``vocab/``] + [entity-shard groupby → one
     Parquet file per shard] + ``_meta.json`` (global n_entries, live
@@ -128,19 +129,21 @@ def build_index(entities_ds, index_dir: str, num_shards: int = 8) -> int:
 
     Three exchanges over the posting set (distinct, df aggregate, shard
     groupby) — build-time cost, paid once per gazetteer; at small scale
-    each finishes on the driver under the aggregate guards."""
-    import json as _json
-    import shutil as _shutil
+    each finishes on the driver under the aggregate guards.
 
+    ``fs``: optional ``pyarrow.fs.FileSystem`` for ``index_dir`` — the
+    shared-storage index build (shard writers run in Ray tasks and carry
+    the pickled fs).  ``None`` = POSIX fast path (see ``state/fsio.py``)."""
     from ..stages.aggregates import dedupe_by_key, two_phase_agg
+    from . import fsio
 
-    os.makedirs(index_dir, exist_ok=True)
+    fsio.makedirs(fs, index_dir)
     # a rebuild with fewer live shards must not leave stale files behind —
     # the full-load LabelIndex globs shard_*.parquet
-    for f in os.listdir(index_dir):
+    for f in fsio.listdir(fs, index_dir):
         if f.startswith("shard_") or f == _META_FILE:
-            os.remove(os.path.join(index_dir, f))
-    _shutil.rmtree(os.path.join(index_dir, _VOCAB_DIR), ignore_errors=True)
+            fsio.remove(fs, os.path.join(index_dir, f))
+    fsio.rmtree(fs, os.path.join(index_dir, _VOCAB_DIR))
 
     postings = entities_ds.map_batches(postings_from_entities_batch,
                                        batch_format="pyarrow")
@@ -164,11 +167,14 @@ def build_index(entities_ds, index_dir: str, num_shards: int = 8) -> int:
 
     vocab_tmp = os.path.join(index_dir, _VOCAB_DIR + ".tmp")
     vocab_dir = os.path.join(index_dir, _VOCAB_DIR)
-    _shutil.rmtree(vocab_tmp, ignore_errors=True)
+    fsio.rmtree(fs, vocab_tmp)
     df_ds = two_phase_agg(deduped, ["token"], {"df": (None, "count")})
-    df_ds.write_parquet(vocab_tmp)
-    _shutil.rmtree(vocab_dir, ignore_errors=True)
-    os.replace(vocab_tmp, vocab_dir)
+    if fs is None:
+        df_ds.write_parquet(vocab_tmp)
+    else:
+        df_ds.write_parquet(vocab_tmp, filesystem=fs)
+    fsio.rmtree(fs, vocab_dir)
+    fsio.move(fs, vocab_tmp, vocab_dir)
 
     sharded = deduped.map_batches(
         lambda t: add_shard_column(t.drop_columns(["__key"]), num_shards),
@@ -180,8 +186,8 @@ def build_index(entities_ds, index_dir: str, num_shards: int = 8) -> int:
         sid = int(group.column("shard")[0].as_py())
         out = group.drop_columns(["shard"]).sort_by([("token", "ascending")])
         tmp = os.path.join(index_dir, f"shard_{sid:04d}.parquet.tmp")
-        pq.write_table(out, tmp)
-        os.replace(tmp, os.path.join(index_dir, f"shard_{sid:04d}.parquet"))
+        fsio.write_parquet(fs, out, tmp)
+        fsio.move(fs, tmp, os.path.join(index_dir, f"shard_{sid:04d}.parquet"))
         # entity-sharding makes shard-local entry sets DISJOINT, so the
         # global n_entries is the plain sum of per-shard distincts
         ents = pc.binary_join_element_wise(
@@ -199,14 +205,11 @@ def build_index(entities_ds, index_dir: str, num_shards: int = 8) -> int:
         "shards": live,
         "n_entries": int(sum(r["entries"] for r in stats)),
         "postings": int(sum(r["postings"] for r in stats)),
-        "bytes": sum(os.path.getsize(os.path.join(index_dir, f))
-                     for f in os.listdir(index_dir)
+        "bytes": sum(fsio.size(fs, os.path.join(index_dir, f))
+                     for f in fsio.listdir(fs, index_dir)
                      if f.startswith("shard_") and f.endswith(".parquet")),
     }
-    tmp_meta = os.path.join(index_dir, _META_FILE + ".tmp")
-    with open(tmp_meta, "w") as fh:
-        _json.dump(meta, fh)
-    os.replace(tmp_meta, os.path.join(index_dir, _META_FILE))
+    fsio.write_json_atomic(fs, os.path.join(index_dir, _META_FILE), meta)
     return meta["postings"]
 
 
