@@ -20,16 +20,24 @@ With ``salt=None`` (auto) a probe side above ``skew_threshold`` rows runs
 ``detect_hot_keys`` (bounded partials) and salts automatically, so one hot
 key never pins a reduce task without the caller having to know about skew.
 
-Dtype contract: merged groups pass through pandas concat/merge where
-None-padding upcasts int64 → float64/object; output columns are restored to
-each side's Arrow-declared dtype (skipping int columns that genuinely carry
-nulls after an outer merge), so join pass-through columns hash identically to
-a DuckDB oracle.
+Interior formats: the default interior is Arrow end-to-end — tag maps build
+the tagged block column-by-column (``pa.nulls`` padding, no row copies) and
+the in-group merge is ``pa.Table.join`` (Acero hash join), which preserves
+every input dtype exactly so no restore step exists on that path.  The
+pandas interior (``GRAFT_JOIN_IMPL=pandas``) is kept selectable for A/B and
+as the fallback when a side's schema is not Arrow-resolvable (pandas object
+blocks) or when the salted skew path runs; there merged groups pass through
+pandas concat/merge where None-padding upcasts int64 → float64/object, and
+output columns are restored to each side's Arrow-declared dtype (skipping
+int columns that genuinely carry nulls after an outer merge), so join
+pass-through columns hash identically to a DuckDB oracle on BOTH paths.
 
 Used by the fusion operator (DataFuser analog) and the relational queries.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
@@ -47,6 +55,12 @@ _AUTO_SALT = 8
 # the most recent auto-planned (bucket_count, salt, hot_keys) — observability
 # for tests and ds.stats() debugging, not part of the operator contract
 last_auto_plan: dict = {}
+
+
+def _join_impl() -> str:
+    """'arrow' (default) or 'pandas' — read per call so tests/benches can
+    flip the env var without re-importing."""
+    return os.environ.get("GRAFT_JOIN_IMPL", "arrow")
 
 
 def _schema_names(ds) -> list[str]:
@@ -114,6 +128,58 @@ def _dtype_restorer(dtype_maps: list[dict], rename: dict | None = None):
         return df
 
     return restore
+
+
+def _arrow_types(ds) -> dict[str, pa.DataType] | None:
+    """Column → Arrow type when the Dataset's schema is Arrow-resolvable,
+    else None (→ the pandas interior, which needs no declared types)."""
+    base = getattr(ds.schema(), "base_schema", None)
+    if not isinstance(base, pa.Schema):
+        return None
+    return {f.name: f.type for f in base}
+
+
+def _bucket_of(key: pa.ChunkedArray | pa.Array, bucket_count: int) -> pa.Array:
+    """hash64(str(key)) % B — the same key-string convention as the pandas
+    interior (both sides of one join always run the same interior, so only
+    within-join consistency matters)."""
+    import pyarrow.compute as pc
+
+    skey = pc.cast(key, pa.string())
+    if isinstance(skey, pa.ChunkedArray):
+        skey = skey.combine_chunks()
+    vals = hash64(skey.to_numpy(zero_copy_only=False))
+    return pa.array((vals % np.uint64(bucket_count)).astype("int64"))
+
+
+def _prep_arrow(ds, on: str, bucket_count: int, side: int,
+                all_cols: list[str], types: dict[str, pa.DataType],
+                key_type: pa.DataType):
+    """Arrow tag map: tagged block built column-by-column (``pa.nulls``
+    padding for the other side's columns — no row materialization)."""
+    import pyarrow.compute as pc
+
+    def tag(tbl: pa.Table) -> pa.Table:
+        n = tbl.num_rows
+        key = tbl.column(on)
+        if key.type != key_type:
+            key = pc.cast(key, key_type)
+        names, arrays = ["__key"], [key]
+        for c in all_cols:
+            names.append(c)
+            if c in tbl.column_names:
+                col = tbl.column(c)
+                if col.type != types[c]:
+                    col = pc.cast(col, types[c])
+                arrays.append(col)
+            else:
+                arrays.append(pa.nulls(n, type=types[c]))
+        names += ["__bucket", "__side"]
+        arrays += [_bucket_of(key, bucket_count),
+                   pa.array(np.full(n, side, dtype="int8"))]
+        return pa.table(dict(zip(names, arrays)))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
 
 
 def _auto_buckets(*datasets, target_bucket_bytes: int = _TARGET_BUCKET_BYTES) -> int:
@@ -260,11 +326,38 @@ def bucket_join(left_ds, right_ds, left_on: str, right_on: str,
 
         l2 = prep_salted(left_ds, left_on, 0)
         r2 = prep_salted(right_ds, right_on, 1)
-    else:
-        l2 = _prep(left_ds, left_on, bucket_count, 0, all_cols)
-        r2 = _prep(right_ds, right_on, bucket_count, 1, all_cols)
     lc = [c for c in left_cols if c != left_on]
     rc = [c for c in right_cols if c != right_on]
+
+    lt, rt = _arrow_types(left_ds), _arrow_types(right_ds)
+    if (not use_salt and _join_impl() == "arrow"
+            and lt is not None and rt is not None):
+        # Arrow interior: typed null padding + Acero hash join per group —
+        # dtypes survive exactly, so there is no restore step on this path
+        types = {c: rt[c] if c in rc else lt[c] for c in all_cols}
+        jt = {"inner": "inner", "left": "left outer",
+              "right": "right outer", "outer": "full outer"}[how]
+        l2 = _prep_arrow(left_ds, left_on, bucket_count, 0, all_cols,
+                         types, lt[left_on])
+        r2 = _prep_arrow(right_ds, right_on, bucket_count, 1, all_cols,
+                         types, lt[left_on])
+
+        def merge_arrow(group: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.equal(group.column("__side"), 0)
+            l = group.filter(mask).select(["__key"] + lc)
+            r = group.filter(pc.invert(mask)).select(["__key"] + rc)
+            out = l.join(r, keys="__key", join_type=jt)
+            out = out.select(["__key"] + lc + rc)
+            return out.rename_columns([left_on] + lc + rc)
+
+        return l2.union(r2).groupby("__bucket").map_groups(
+            merge_arrow, batch_format="pyarrow")
+
+    if not use_salt:
+        l2 = _prep(left_ds, left_on, bucket_count, 0, all_cols)
+        r2 = _prep(right_ds, right_on, bucket_count, 1, all_cols)
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         l = group[group["__side"] == 0]
@@ -287,6 +380,56 @@ def _bucket_semi_anti(left_ds, right_ds, left_on: str, right_on: str,
     if bucket_count is None:
         left_ds = left_ds.materialize()
         bucket_count = _auto_buckets(left_ds)
+
+    lt = _arrow_types(left_ds)
+    if _join_impl() == "arrow" and lt is not None:
+        # Arrow interior: Acero left-semi/left-anti per group.  The right
+        # side still ships per-batch-deduped KEYS only (cast to the left
+        # key type so the union schema is exact).
+        key_type = lt[left_on]
+
+        def tag_left_a(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            key = tbl.column(left_on)
+            cols = {c: tbl.column(c) for c in left_cols}
+            cols["__key"] = (key if key.type == key_type
+                             else pc.cast(key, key_type))
+            cols["__bucket"] = _bucket_of(cols["__key"], bucket_count)
+            cols["__side"] = pa.array(
+                np.zeros(tbl.num_rows, dtype="int8"))
+            return pa.table(cols)
+
+        def tag_right_a(tbl: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keys = pc.unique(tbl.column(right_on).combine_chunks()
+                             if isinstance(tbl.column(right_on),
+                                           pa.ChunkedArray)
+                             else tbl.column(right_on))
+            if keys.type != key_type:
+                keys = pc.cast(keys, key_type)
+            n = len(keys)
+            cols = {c: pa.nulls(n, type=lt[c]) for c in left_cols}
+            cols["__key"] = keys
+            cols["__bucket"] = _bucket_of(keys, bucket_count)
+            cols["__side"] = pa.array(np.ones(n, dtype="int8"))
+            return pa.table(cols)
+
+        l2 = left_ds.map_batches(tag_left_a, batch_format="pyarrow")
+        r2 = right_ds.map_batches(tag_right_a, batch_format="pyarrow")
+        jt = "left semi" if keep_matched else "left anti"
+
+        def pick_arrow(group: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            mask = pc.equal(group.column("__side"), 0)
+            l = group.filter(mask).select(left_cols + ["__key"])
+            rk = group.filter(pc.invert(mask)).select(["__key"])
+            return l.join(rk, keys="__key", join_type=jt).select(left_cols)
+
+        return l2.union(r2).groupby("__bucket").map_groups(
+            pick_arrow, batch_format="pyarrow")
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()

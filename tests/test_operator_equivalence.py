@@ -259,3 +259,58 @@ def test_bucket_join_dtype_restore(ray_session, rng):
     want = left.merge(right, left_on="k", right_on="rk")
     assert len(got) == len(want)
     assert int(got["li"].sum()) == int(want["li"].sum())
+
+
+def test_join_interiors_equivalent(ray_session, rng, monkeypatch):
+    """The Arrow interior (default) and the pandas interior
+    (GRAFT_JOIN_IMPL=pandas) must produce identical frames AND dtypes for
+    inner/left/outer joins and for semi/anti — the env switch exists for A/B
+    and as the non-Arrow-schema fallback, so divergence here would make the
+    fallback silently change answers."""
+    import ray.data as rd
+
+    from mannheimsearchjoinsengine_ray.stages.joins import (
+        bucket_anti_join,
+        bucket_join,
+        bucket_semi_join,
+    )
+
+    left = pd.DataFrame({
+        "k": rng.integers(0, 40, 600),
+        "li": rng.integers(0, 10**9, 600),
+        "ls": rng.integers(0, 10, 600).astype(str),
+        "lt": pd.to_datetime("2024-01-01")
+              + pd.to_timedelta(rng.integers(0, 10**6, 600), unit="s"),
+    })
+    right = pd.DataFrame({
+        "rk": rng.integers(0, 55, 120),
+        "rf": rng.random(120),
+    })
+
+    def run_all():
+        l = rd.from_pandas(left).repartition(5)
+        r = rd.from_pandas(right).repartition(3)
+        out = {}
+        for how in ("inner", "left", "outer"):
+            out[how] = bucket_join(l, r, "k", "rk", how=how,
+                                   bucket_count=8).to_pandas()
+        out["semi"] = bucket_semi_join(l, r, left_on="k", right_on="rk",
+                                       bucket_count=8).to_pandas()
+        out["anti"] = bucket_anti_join(l, r, left_on="k", right_on="rk",
+                                       bucket_count=8).to_pandas()
+        return out
+
+    monkeypatch.setenv("GRAFT_JOIN_IMPL", "arrow")
+    arrow = run_all()
+    monkeypatch.setenv("GRAFT_JOIN_IMPL", "pandas")
+    pandas_ = run_all()
+
+    for name in arrow:
+        a, b = _norm(arrow[name]), _norm(pandas_[name])
+        pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                      obj=f"{name} interior mismatch")
+        # dtype parity where no nulls force a representation choice
+        for c in a.columns:
+            if not a[c].isna().any() and not b[c].isna().any():
+                assert a[c].dtype == b[c].dtype, (name, c, a[c].dtype,
+                                                  b[c].dtype)
