@@ -254,6 +254,105 @@ def run_biglink() -> dict:
     }
 
 
+def _spill_one() -> dict:
+    """One fresh-process spill-policy leg ($GRAFT_SPILL_COMP ∈
+    {uncompressed, lz4}): the triples disk exchange (`materialize_triples`)
+    over the bench corpus, with the runs directory + partition commits on a
+    rate-limited filesystem (`state/throttlefs.py`) so I/O bytes cost wall
+    time like they do on remote/shared storage.  Upstream extract/triplify
+    is materialized UNTIMED — the timed region is exactly the exchange the
+    compression policy governs."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from mannheimsearchjoinsengine_ray.pipelines import kg
+    from mannheimsearchjoinsengine_ray.pipelines.queries import corpus_for
+    from mannheimsearchjoinsengine_ray.state import fsio
+    from mannheimsearchjoinsengine_ray.state.throttlefs import (
+        throttled_local_fs,
+    )
+
+    comp = os.environ.get("GRAFT_SPILL_COMP", "uncompressed")
+    rate_mb = float(os.environ.get("GRAFT_SPILL_RATE_MB", "30"))
+    lat_ms = float(os.environ.get("GRAFT_SPILL_LAT_MS", "2"))
+
+    corpus = corpus_for(SF_DIR)
+    pages = kg.read_pages(corpus, columns=["url", "html"])
+    triples = kg.triples_ds(kg.extract_tables_ds(pages)).materialize()
+
+    out_dir = f"/tmp/graft_spill_ab_{comp}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    fs = throttled_local_fs(rate_mb * 1e6, lat_ms / 1e3)
+
+    # record spill bytes: the exchange deletes its runs dir on completion,
+    # so sum file sizes in the pre-delete hook (driver-side, untimed-ish)
+    spill = {"bytes": 0, "files": 0}
+    orig_rmtree = fsio.rmtree
+
+    def recording_rmtree(f, path):
+        if path.endswith("_runs") and os.path.isdir(path):
+            sizes = [os.path.getsize(os.path.join(path, n))
+                     for n in os.listdir(path)]
+            if sizes:
+                spill["bytes"] = sum(sizes)
+                spill["files"] = len(sizes)
+        orig_rmtree(f, path)
+
+    fsio.rmtree = recording_rmtree
+    try:
+        t0 = time.perf_counter()
+        stats = kg.materialize_triples(triples, out_dir, num_partitions=16,
+                                       fingerprint="spill-ab",
+                                       run_compression=comp, fs=fs)
+        sec = time.perf_counter() - t0
+    finally:
+        fsio.rmtree = orig_rmtree
+    rows = sum(s["rows"] for s in stats)
+    per_part = [s["rows"] for s in sorted(stats, key=lambda s: s["partition"])]
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ray.shutdown()
+    return {"comp": comp, "exchange_sec": round(sec, 2), "rows": rows,
+            "spill_bytes": spill["bytes"], "spill_files": spill["files"],
+            "per_part": per_part, "rate_mb_s": rate_mb, "lat_ms": lat_ms}
+
+
+def run_spill_ab() -> dict:
+    """Run-compression policy A/B on synthetic slow storage (round-4 verdict
+    task 8): uncompressed vs lz4 run files through a per-stream-throttled
+    filesystem, 2 fresh-process rounds each, output equality asserted."""
+    def one(comp: str) -> dict:
+        env = dict(os.environ, GRAFT_SPILL_COMP=comp)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__),
+                              "--spill-one"], env=env, capture_output=True,
+                             text=True, check=True)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    legs = [one(c) for c in ("uncompressed", "lz4", "uncompressed", "lz4")]
+    unc = [l for l in legs if l["comp"] == "uncompressed"]
+    lz4 = [l for l in legs if l["comp"] == "lz4"]
+    assert unc[0]["per_part"] == lz4[0]["per_part"] == unc[1]["per_part"], \
+        "spill-policy legs disagree on output partitions"
+    return {
+        "metric": "spill_ab",
+        "num_cpus": NUM_CPUS,
+        "sf": SF_DIR,
+        "rows": unc[0]["rows"],
+        "rate_mb_s": unc[0]["rate_mb_s"],
+        "lat_ms": unc[0]["lat_ms"],
+        "uncompressed_sec": [l["exchange_sec"] for l in unc],
+        "lz4_sec": [l["exchange_sec"] for l in lz4],
+        "uncompressed_spill_bytes": unc[0]["spill_bytes"],
+        "lz4_spill_bytes": lz4[0]["spill_bytes"],
+        "spill_files": unc[0]["spill_files"],
+    }
+
+
 def _canary_inner() -> float:
     import pyarrow.parquet as pq
 
@@ -356,6 +455,10 @@ if __name__ == "__main__":
         print(json.dumps(_biglink_one()))
     elif "--biglink" in sys.argv:
         print(json.dumps(run_biglink()))
+    elif "--spill-one" in sys.argv:
+        print(json.dumps(_spill_one()))
+    elif "--spill-ab" in sys.argv:
+        print(json.dumps(run_spill_ab()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
