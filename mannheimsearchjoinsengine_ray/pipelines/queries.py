@@ -453,9 +453,13 @@ def q_part_price_stats(sf_dir: str):
 
 
 def q_distinct_brands(sf_dir: str):
-    """Exact distinct (ds.unique; IndexManager dedup :437-447 analog)."""
-    brands = sorted(_rp(sf_dir, "part", ["p_brand"]).unique("p_brand"))
-    return pd.DataFrame({"p_brand": brands})
+    """Exact distinct (IndexManager dedup :437-447 analog) via the house
+    idiom — dedupe_by_key's map-side per-block unique bounds the exchange
+    by true-distinct × block-count where Dataset.unique shuffles raw rows."""
+    from ..stages.aggregates import dedupe_by_key
+
+    out = dedupe_by_key(_rp(sf_dir, "part", ["p_brand"]), ["p_brand"])
+    return out.to_pandas().sort_values("p_brand").reset_index(drop=True)
 
 
 def q_top_orders_per_segment(sf_dir: str,
