@@ -32,6 +32,13 @@ output columns are restored to each side's Arrow-declared dtype (skipping
 int columns that genuinely carry nulls after an outer merge), so join
 pass-through columns hash identically to a DuckDB oracle on BOTH paths.
 
+Null-key semantics: the Arrow interior follows SQL (a null key never
+matches — same as the DuckDB oracles); the pandas interior inherits
+pandas' NaN == NaN merge quirk.  Every oracled call site carries non-null
+keys, so the interiors are equivalent there (pinned by
+``test_join_interiors_equivalent``); callers with nullable keys should
+stay on the default interior.
+
 Used by the fusion operator (DataFuser analog) and the relational queries.
 """
 
@@ -55,6 +62,9 @@ _AUTO_SALT = 8
 # the most recent auto-planned (bucket_count, salt, hot_keys) — observability
 # for tests and ds.stats() debugging, not part of the operator contract
 last_auto_plan: dict = {}
+# which interior the most recent bucket_join/semi/anti chose ("arrow" /
+# "pandas") — a driver-side diagnostic for tests and A/Bs, not control flow
+last_interior: str = ""
 
 
 def _join_impl() -> str:
@@ -332,6 +342,8 @@ def bucket_join(left_ds, right_ds, left_on: str, right_on: str,
     lt, rt = _arrow_types(left_ds), _arrow_types(right_ds)
     if (not use_salt and _join_impl() == "arrow"
             and lt is not None and rt is not None):
+        global last_interior
+        last_interior = "arrow"
         # Arrow interior: typed null padding + Acero hash join per group —
         # dtypes survive exactly, so there is no restore step on this path
         types = {c: rt[c] if c in rc else lt[c] for c in all_cols}
@@ -348,13 +360,17 @@ def bucket_join(left_ds, right_ds, left_on: str, right_on: str,
             mask = pc.equal(group.column("__side"), 0)
             l = group.filter(mask).select(["__key"] + lc)
             r = group.filter(pc.invert(mask)).select(["__key"] + rc)
-            out = l.join(r, keys="__key", join_type=jt)
+            # use_threads=False: the task owns ONE cpu slot — Acero's
+            # default thread pool would oversubscribe across concurrent
+            # bucket merges
+            out = l.join(r, keys="__key", join_type=jt, use_threads=False)
             out = out.select(["__key"] + lc + rc)
             return out.rename_columns([left_on] + lc + rc)
 
         return l2.union(r2).groupby("__bucket").map_groups(
             merge_arrow, batch_format="pyarrow")
 
+    globals()["last_interior"] = "pandas"
     if not use_salt:
         l2 = _prep(left_ds, left_on, bucket_count, 0, all_cols)
         r2 = _prep(right_ds, right_on, bucket_count, 1, all_cols)
@@ -383,6 +399,8 @@ def _bucket_semi_anti(left_ds, right_ds, left_on: str, right_on: str,
 
     lt = _arrow_types(left_ds)
     if _join_impl() == "arrow" and lt is not None:
+        global last_interior
+        last_interior = "arrow"
         # Arrow interior: Acero left-semi/left-anti per group.  The right
         # side still ships per-batch-deduped KEYS only (cast to the left
         # key type so the union schema is exact).
@@ -426,10 +444,13 @@ def _bucket_semi_anti(left_ds, right_ds, left_on: str, right_on: str,
             mask = pc.equal(group.column("__side"), 0)
             l = group.filter(mask).select(left_cols + ["__key"])
             rk = group.filter(pc.invert(mask)).select(["__key"])
-            return l.join(rk, keys="__key", join_type=jt).select(left_cols)
+            return l.join(rk, keys="__key", join_type=jt,
+                          use_threads=False).select(left_cols)
 
         return l2.union(r2).groupby("__bucket").map_groups(
             pick_arrow, batch_format="pyarrow")
+
+    globals()["last_interior"] = "pandas"
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()

@@ -264,11 +264,16 @@ def test_bucket_join_dtype_restore(ray_session, rng):
 def test_join_interiors_equivalent(ray_session, rng, monkeypatch):
     """The Arrow interior (default) and the pandas interior
     (GRAFT_JOIN_IMPL=pandas) must produce identical frames AND dtypes for
-    inner/left/outer joins and for semi/anti — the env switch exists for A/B
-    and as the non-Arrow-schema fallback, so divergence here would make the
-    fallback silently change answers."""
+    inner/left/right/outer joins and for semi/anti — the env switch exists
+    for A/B and as the non-Arrow-schema fallback, so divergence here would
+    make the fallback silently change answers.  Inputs are ARROW-backed
+    (from_arrow): from_pandas datasets have no Arrow-resolvable schema and
+    always fall back to pandas, which would make this test vacuous — each
+    leg asserts via joins.last_interior that it really took its path."""
+    import pyarrow as pa
     import ray.data as rd
 
+    from mannheimsearchjoinsengine_ray.stages import joins
     from mannheimsearchjoinsengine_ray.stages.joins import (
         bucket_anti_join,
         bucket_join,
@@ -287,23 +292,26 @@ def test_join_interiors_equivalent(ray_session, rng, monkeypatch):
         "rf": rng.random(120),
     })
 
-    def run_all():
-        l = rd.from_pandas(left).repartition(5)
-        r = rd.from_pandas(right).repartition(3)
+    def run_all(expect_interior):
+        l = rd.from_arrow(pa.Table.from_pandas(left)).repartition(5)
+        r = rd.from_arrow(pa.Table.from_pandas(right)).repartition(3)
         out = {}
-        for how in ("inner", "left", "outer"):
-            out[how] = bucket_join(l, r, "k", "rk", how=how,
-                                   bucket_count=8).to_pandas()
+        for how in ("inner", "left", "right", "outer"):
+            res = bucket_join(l, r, "k", "rk", how=how, bucket_count=8)
+            assert joins.last_interior == expect_interior
+            out[how] = res.to_pandas()
         out["semi"] = bucket_semi_join(l, r, left_on="k", right_on="rk",
                                        bucket_count=8).to_pandas()
+        assert joins.last_interior == expect_interior
         out["anti"] = bucket_anti_join(l, r, left_on="k", right_on="rk",
                                        bucket_count=8).to_pandas()
+        assert joins.last_interior == expect_interior
         return out
 
     monkeypatch.setenv("GRAFT_JOIN_IMPL", "arrow")
-    arrow = run_all()
+    arrow = run_all("arrow")
     monkeypatch.setenv("GRAFT_JOIN_IMPL", "pandas")
-    pandas_ = run_all()
+    pandas_ = run_all("pandas")
 
     for name in arrow:
         a, b = _norm(arrow[name]), _norm(pandas_[name])
