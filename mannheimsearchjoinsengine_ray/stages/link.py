@@ -797,7 +797,8 @@ def link_mentions(mentions_ds, index_dir: str,
     context-building mention map for it.
 
     Index routing (``cfg.link_shard_route``): None (auto) shard-routes the
-    resolve when the built index reports more bytes than
+    resolve when the built index's ESTIMATED RESIDENT bytes
+    (``_meta.json: mem_bytes_est``) exceed
     ``cfg.link_index_replicate_limit`` — replicating a small gazetteer per
     worker is the broadcast-small-side pattern and strictly faster, while a
     large KB must NOT be loaded whole into every worker (round-4 verdict,
@@ -813,8 +814,15 @@ def link_mentions(mentions_ds, index_dir: str,
     meta = index_meta(index_dir)
     sharded = cfg.link_shard_route
     if sharded is None:
+        # the guard compares what REPLICATING would cost per worker —
+        # LabelIndex's resident bytes, not parquet file size (a 1M-entity
+        # index is 76 MB on disk but ~2.4 GB resident: ~30× dictionary +
+        # compression + Python-object inflation, measured round 5).  Older
+        # indexes without mem_bytes_est fall back to disk bytes × 30.
+        mem_est = (meta or {}).get("mem_bytes_est",
+                                   (meta or {}).get("bytes", 0) * 30)
         sharded = bool(meta and len(meta.get("shards", [])) > 1
-                       and meta.get("bytes", 0) > cfg.link_index_replicate_limit)
+                       and mem_est > cfg.link_index_replicate_limit)
     elif sharded and not (meta and meta.get("shards")):
         raise ValueError(
             f"link_shard_route=True needs a sharded index with _meta.json "

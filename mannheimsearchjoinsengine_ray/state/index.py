@@ -106,6 +106,9 @@ def postings_from_entities_batch(batch: pa.Table) -> pa.Table:
 
 _VOCAB_DIR = "vocab"
 _META_FILE = "_meta.json"
+# LabelIndex resident bytes ≈ this × uncompressed Arrow posting bytes
+# (measured 6.6× at a 1M-entity/3M-posting gazetteer; rounded up)
+_MEM_INFLATION = 7
 
 
 def add_shard_column(batch: pa.Table, num_shards: int) -> pa.Table:
@@ -193,11 +196,13 @@ def build_index(entities_ds, index_dir: str, num_shards: int = 8,
         ents = pc.binary_join_element_wise(
             out.column("entity_uri"), out.column("name_norm"), "\x00")
         return pa.table({"shard": [sid], "postings": [out.num_rows],
-                         "entries": [int(pc.count_distinct(ents).as_py())]})
+                         "entries": [int(pc.count_distinct(ents).as_py())],
+                         "arrow_bytes": [int(out.nbytes)]})
 
     stats = sharded.groupby("shard").map_groups(
         write_shard, batch_format="pyarrow").take_all()
     live = sorted(int(r["shard"]) for r in stats)
+    arrow_bytes = int(sum(r["arrow_bytes"] for r in stats))
     meta = {
         "version": 1,
         "sharding": "entity",
@@ -208,6 +213,14 @@ def build_index(entities_ds, index_dir: str, num_shards: int = 8,
         "bytes": sum(fsio.size(fs, os.path.join(index_dir, f))
                      for f in fsio.listdir(fs, index_dir)
                      if f.startswith("shard_") and f.endswith(".parquet")),
+        # what the REPLICATED mode would cost per worker: LabelIndex's
+        # Python strings/frozensets resident bytes, estimated from the
+        # uncompressed Arrow posting bytes.  Parquet file size is the WRONG
+        # basis for the replicate-vs-shard-route decision — measured at a
+        # 1M-entity gazetteer: 76 MB parquet → 360 MB Arrow → ~2.4 GB
+        # resident (~6.6× Arrow, ~30× disk; BASELINE.md round 5)
+        "arrow_bytes": arrow_bytes,
+        "mem_bytes_est": arrow_bytes * _MEM_INFLATION,
     }
     fsio.write_json_atomic(fs, os.path.join(index_dir, _META_FILE), meta)
     return meta["postings"]

@@ -647,9 +647,15 @@ def test_link_mentions_shard_routed_equivalence(ray_session, tmp_path):
     pd.testing.assert_frame_equal(a, b)
     pd.testing.assert_frame_equal(a, c)
 
-    # auto mode: a toy index stays replicated; forcing shard-route on a
-    # meta-less dir is a loud error, not silent full loads
-    assert IX.index_meta(d)["bytes"] < cfg.link_index_replicate_limit
+    # auto mode: a toy index stays replicated — the guard compares the
+    # RESIDENT estimate (mem_bytes_est ≈ 7× uncompressed Arrow bytes; disk
+    # parquet is ~30× smaller than LabelIndex's Python-object footprint and
+    # would mis-route a 1M-entity KB into every worker's heap)
+    meta = IX.index_meta(d)
+    assert meta["mem_bytes_est"] == meta["arrow_bytes"] * 7
+    assert meta["mem_bytes_est"] < cfg.link_index_replicate_limit
+    # forcing shard-route on a meta-less dir is a loud error, not silent
+    # full loads
     import os
     os.remove(os.path.join(d, "_meta.json"))
     with pytest.raises(ValueError):
