@@ -421,20 +421,33 @@ def run_scaling() -> dict:
     # measurement noise, not scaling).  Each leg's wall time is normalized by
     # the mean of its bracketing canaries relative to the first canary, so
     # both legs are expressed at the SAME machine speed before the ratio.
-    # GRAFT_SCALE_REPEATS > 1: run each leg N times ALTERNATING (lo, hi,
-    # lo, hi, …) and take the per-leg MINIMUM.  Co-tenant slowdowns on this
-    # box are one-sided noise (they only ever ADD wall time — BASELINE.md
-    # #23: underlying speed drifts >1.4x across minutes), so min-of-N is
-    # the consistent estimator of the code's noise-free time per width, and
+    # GRAFT_SCALE_REPEATS: run each leg N times ALTERNATING (lo, hi, lo,
+    # hi, …) and take the per-leg MINIMUM.  Co-tenant slowdowns on this box
+    # are one-sided noise (they only ever ADD wall time — BASELINE.md #23:
+    # underlying speed drifts >1.4x across minutes), so min-of-N is the
+    # consistent estimator of the code's noise-free time per width, and
     # alternating gives both legs equal exposure to every machine window.
-    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "1"))
+    # Default "auto": one pair; a second pair ONLY if the canaries moved
+    # >15% or the first ratio lands under 0.8 (i.e. the single pair is not
+    # trustworthy) — bounded cost in bad windows, no extra cost in good
+    # ones.
+    rep_env = os.environ.get("GRAFT_SCALE_REPEATS", "auto")
+    auto = rep_env == "auto"
+    repeats = 2 if auto else int(rep_env)
     canaries = [machine_canary()]
     lo_runs, hi_runs = [], []
-    for _ in range(repeats):
+    for i in range(repeats):
         lo_runs.append(one(lo_n))
         canaries.append(machine_canary())
         hi_runs.append(one(hi_n))
         canaries.append(machine_canary())
+        if auto and i == 0:
+            stable = max(canaries) / min(canaries) <= 1.15
+            first_eff = (lo_runs[0]["value"] / hi_runs[0]["value"]) \
+                / (hi_n / lo_n)
+            if stable and first_eff >= 0.8:
+                repeats = 1
+                break
     lo = min(lo_runs, key=lambda r: r["value"])
     hi = min(hi_runs, key=lambda r: r["value"])
     eff_raw = (lo["value"] / hi["value"]) / (hi_n / lo_n)
