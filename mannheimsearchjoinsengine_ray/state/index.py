@@ -124,21 +124,36 @@ def add_shard_column(batch: pa.Table, num_shards: int) -> pa.Table:
 
 
 def build_index(entities_ds, index_dir: str, num_shards: int = 8,
-                fs=None) -> int:
-    """Distributed index build: postings → distinct (token, entry) →
-    [global df per token → ``vocab/``] + [entity-shard groupby → one
-    Parquet file per shard] + ``_meta.json`` (global n_entries, live
-    shards, bytes).  Returns the number of distinct postings.
+                fs=None, driver_final_bytes: int | None = None) -> int:
+    """Index build: postings → distinct (token, entry) → [global df per
+    token → ``vocab/``] + [entity-shard split → one Parquet file per
+    shard] + ``_meta.json`` (global n_entries, live shards, bytes).
+    Returns the number of distinct postings.
 
-    Three exchanges over the posting set (distinct, df aggregate, shard
-    groupby) — build-time cost, paid once per gazetteer; at small scale
-    each finishes on the driver under the aggregate guards.
+    The posting map runs as ONE Dataset job and is materialized to MEASURE
+    the posting bytes (the ``two_phase_agg`` pattern).  Under
+    ``driver_final_bytes`` (default ``GRAFT_INDEX_DRIVER_BYTES`` or the
+    house 32 MB guard) the dedupe/df/vocab/shard finish happens ON THE
+    DRIVER — the distributed tail is three more exchanges over the posting
+    set (distinct, df aggregate, shard groupby), ~1.5–2 s of fixed task
+    overhead for a kilobyte-scale gazetteer (BASELINE.md #44).  Above the
+    guard every step stays distributed; the artifact layout is identical
+    either way (equivalence pinned by
+    ``test_index_build_local_distributed_identical``).
 
     ``fs``: optional ``pyarrow.fs.FileSystem`` for ``index_dir`` — the
     shared-storage index build (shard writers run in Ray tasks and carry
     the pickled fs).  ``None`` = POSIX fast path (see ``state/fsio.py``)."""
-    from ..stages.aggregates import dedupe_by_key, two_phase_agg
+    from ..stages.aggregates import (
+        DRIVER_FINAL_BYTES,
+        dedupe_by_key,
+        two_phase_agg,
+    )
     from . import fsio
+
+    if driver_final_bytes is None:
+        driver_final_bytes = int(os.environ.get(
+            "GRAFT_INDEX_DRIVER_BYTES", DRIVER_FINAL_BYTES))
 
     fsio.makedirs(fs, index_dir)
     # a rebuild with fewer live shards must not leave stale files behind —
@@ -149,7 +164,17 @@ def build_index(entities_ds, index_dir: str, num_shards: int = 8,
     fsio.rmtree(fs, os.path.join(index_dir, _VOCAB_DIR))
 
     postings = entities_ds.map_batches(postings_from_entities_batch,
-                                       batch_format="pyarrow")
+                                       batch_format="pyarrow").materialize()
+    if (postings.size_bytes() or 0) <= driver_final_bytes:
+        import ray as _ray
+
+        refs = postings.to_arrow_refs()
+        blocks = [b for b in _ray.get(refs) if b.num_rows] if refs else []
+        # empty blocks pass through with the INPUT schema (Ray never calls
+        # the UDF on them) — an all-empty pull must still be POSTING_SCHEMA
+        tbl = pa.concat_tables(blocks) if blocks \
+            else POSTING_SCHEMA.empty_table()
+        return _build_index_driver(tbl, index_dir, num_shards, fs)
 
     def add_key(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -201,6 +226,15 @@ def build_index(entities_ds, index_dir: str, num_shards: int = 8,
 
     stats = sharded.groupby("shard").map_groups(
         write_shard, batch_format="pyarrow").take_all()
+    return _write_index_meta(fs, index_dir, num_shards, stats)["postings"]
+
+
+def _write_index_meta(fs, index_dir: str, num_shards: int,
+                      stats: list[dict]) -> dict:
+    """``_meta.json`` from per-shard (shard, postings, entries, arrow_bytes)
+    stats — shared by the driver-local and distributed builds."""
+    from . import fsio
+
     live = sorted(int(r["shard"]) for r in stats)
     arrow_bytes = int(sum(r["arrow_bytes"] for r in stats))
     meta = {
@@ -223,7 +257,63 @@ def build_index(entities_ds, index_dir: str, num_shards: int = 8,
         "mem_bytes_est": arrow_bytes * _MEM_INFLATION,
     }
     fsio.write_json_atomic(fs, os.path.join(index_dir, _META_FILE), meta)
-    return meta["postings"]
+    return meta
+
+
+def _build_index_driver(tbl: pa.Table, index_dir: str, num_shards: int,
+                        fs) -> int:
+    """Driver-local finish for a measured-small posting set: identical
+    artifact layout (``vocab/``, ``shard_*.parquet``, ``_meta.json``)
+    without the dedupe/df/shard Dataset exchanges.  The whole posting set
+    fits the 32 MB driver guard, so dedupe is one ``np.unique`` and each
+    shard file is a filtered, token-sorted slice written directly."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from . import fsio
+
+    tbl = tbl.combine_chunks()
+    ent = pc.binary_join_element_wise(
+        tbl.column("entity_uri"), tbl.column("name_norm"), "\x00")
+    key = pc.binary_join_element_wise(tbl.column("token"), ent, "\x00")
+    karr = np.asarray(key.to_pylist(), dtype=object)
+    _, first = np.unique(karr, return_index=True)
+    if len(first) != len(karr):
+        sel = pa.array(np.sort(first))
+        tbl = tbl.take(sel)
+        ent = ent.take(sel)
+
+    # postings are now distinct per (token, entry) → df = rows per token
+    utok, dfc = np.unique(
+        np.asarray(tbl.column("token").to_pylist(), dtype=object),
+        return_counts=True)
+    vocab_tmp = os.path.join(index_dir, _VOCAB_DIR + ".tmp")
+    vocab_dir = os.path.join(index_dir, _VOCAB_DIR)
+    fsio.rmtree(fs, vocab_tmp)
+    fsio.makedirs(fs, vocab_tmp)
+    fsio.write_parquet(
+        fs,
+        pa.table({"token": pa.array(utok.tolist(), pa.string()),
+                  "df": pa.array(dfc.astype("int64"))}),
+        os.path.join(vocab_tmp, "vocab-00000.parquet"))
+    fsio.rmtree(fs, vocab_dir)
+    fsio.move(fs, vocab_tmp, vocab_dir)
+
+    shard = hash64(ent.to_pylist()) % num_shards
+    stats: list[dict] = []
+    for sid in np.unique(shard):
+        idx = np.flatnonzero(shard == sid)
+        out = tbl.take(pa.array(idx)).sort_by([("token", "ascending")])
+        tmp = os.path.join(index_dir, f"shard_{int(sid):04d}.parquet.tmp")
+        fsio.write_parquet(fs, out, tmp)
+        fsio.move(fs, tmp,
+                  os.path.join(index_dir, f"shard_{int(sid):04d}.parquet"))
+        ents = pc.binary_join_element_wise(
+            out.column("entity_uri"), out.column("name_norm"), "\x00")
+        stats.append({"shard": int(sid), "postings": out.num_rows,
+                      "entries": int(pc.count_distinct(ents).as_py()),
+                      "arrow_bytes": int(out.nbytes)})
+    return _write_index_meta(fs, index_dir, num_shards, stats)["postings"]
 
 
 def index_meta(index_dir: str) -> dict | None:

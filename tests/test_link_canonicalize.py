@@ -46,6 +46,50 @@ def test_index_build_sharded(index_dir):
     assert meta["bytes"] > 0 and sorted(meta["shards"]) == meta["shards"]
 
 
+def test_index_build_local_distributed_identical(ray_session, tmp_path):
+    """The driver-final build (postings under the 32 MB guard) and the
+    distributed build (guard forced to 0) must produce the same artifacts:
+    same vocab (token, df) set, same per-shard posting sets, same meta."""
+    import os
+
+    import ray.data as rd
+
+    gaz = pa.table(P.make_gazetteer(300))
+    d_loc = str(tmp_path / "idx_local")
+    d_dist = str(tmp_path / "idx_dist")
+    n_loc = IX.build_index(rd.from_arrow(gaz), d_loc, num_shards=4)
+    n_dist = IX.build_index(rd.from_arrow(gaz), d_dist, num_shards=4,
+                            driver_final_bytes=0)
+    assert n_loc == n_dist > 0
+
+    def read_sorted(path):
+        t = pq.read_table(path)
+        return t.sort_by([(c, "ascending") for c in t.column_names]).to_pydict()
+
+    def vocab_sorted(root):
+        vdir = os.path.join(root, "vocab")
+        tabs = [pq.read_table(os.path.join(vdir, f), columns=["token", "df"])
+                for f in sorted(os.listdir(vdir)) if f.endswith(".parquet")]
+        t = pa.concat_tables(tabs)
+        return t.sort_by([("token", "ascending")]).to_pydict()
+
+    assert vocab_sorted(d_loc) == vocab_sorted(d_dist)
+    shards_loc = sorted(f for f in os.listdir(d_loc) if f.startswith("shard_"))
+    shards_dist = sorted(f for f in os.listdir(d_dist) if f.startswith("shard_"))
+    assert shards_loc == shards_dist
+    for f in shards_loc:
+        assert read_sorted(os.path.join(d_loc, f)) == \
+            read_sorted(os.path.join(d_dist, f))
+    m_loc, m_dist = IX.index_meta(d_loc), IX.index_meta(d_dist)
+    for k in ("sharding", "num_shards", "shards", "n_entries", "postings",
+              "arrow_bytes", "mem_bytes_est"):
+        assert m_loc[k] == m_dist[k], k
+    # serving equivalence on a real lookup
+    label = P.entity_label(7)
+    assert IX.LabelIndex(d_loc).search(label) == \
+        IX.LabelIndex(d_dist).search(label)
+
+
 def test_search_exact_and_fuzzy(index_dir):
     idx = IX.LabelIndex(index_dir)
     label = P.entity_label(42)
