@@ -317,15 +317,16 @@ def parse_unit(text: str, header_hint: str | None = None) -> ParsedUnit | None:
 
 def _parse_unit_text(text: str) -> ParsedUnit | None:
     # cheap reject before any string copies: a unit value needs a number
-    if _NUMBER_RE.search(text) is None:
+    m = _NUMBER_RE.search(text)
+    if m is None:
         return None
     negative = False
     if "-" in text:
         text = text.replace("-", " ", 1)
         negative = True
-    m = _NUMBER_RE.search(text)
-    if not m:
-        return None
+        m = _NUMBER_RE.search(text)
+        if not m:
+            return None
     num_str = m.group(1)
     try:
         value = float(num_str.replace(",", "."))

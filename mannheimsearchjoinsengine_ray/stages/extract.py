@@ -37,6 +37,10 @@ from ..functions.normalize import clean_web_header, simple_string_normalization
 from ..functions.typeguess import vote_column_type
 
 _SKIP_TAGS = frozenset({"script", "style", "head", "nav", "footer"})
+# the only tags whose handlers have observable effects when
+# collect_text=False (skip-depth tracking + table state); block tags only
+# flush an always-empty text buffer there — see _fast_feed
+_TABLES_RELEVANT = _SKIP_TAGS | {"table", "tr", "td", "th"}
 _BLOCK_TAGS = frozenset({
     "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "div", "table",
     "ul", "ol", "br", "section", "article",
@@ -241,7 +245,14 @@ def _eof_tail(rawdata: str, i: int) -> int:
 def _fast_feed(p: "_PageParser", rawdata: str) -> None:
     """Drive ``p``'s handle_starttag/handle_endtag/handle_data with the same
     event stream ``HTMLParser(convert_charrefs=True).feed + close`` produces.
-    The parser object is only used for its three handlers."""
+    The parser object is only used for its three handlers.
+
+    Tables-only parsers (``collect_text=False``) observe ONLY the tags in
+    ``_TABLES_RELEVANT`` — every other handler invocation is a no-op by
+    construction (block flushes hit an always-empty buffer; data outside a
+    cell is dropped), so the hot loop skips the calls (and the unescape +
+    slice for prose runs) entirely.  Equivalence with the stdlib feed is
+    pinned for BOTH parser configurations."""
     n = len(rawdata)
     i = 0
     handle_data = p.handle_data
@@ -249,13 +260,17 @@ def _fast_feed(p: "_PageParser", rawdata: str) -> None:
     handle_end = p.handle_endtag
     find = rawdata.find
     startswith = rawdata.startswith
+    # None → deliver everything (text-collecting parser)
+    relevant = None if p.collect_text else _TABLES_RELEVANT
     while i < n:
         j = find("<", i)
         if j < 0:
             j = n
         if i < j:
-            data = rawdata[i:j]
-            handle_data(_unescape(data) if "&" in data else data)
+            if relevant is None or (p._cell is not None
+                                    and not p.skip_depth):
+                data = rawdata[i:j]
+                handle_data(_unescape(data) if "&" in data else data)
             i = j
         if i >= n:
             break
@@ -284,10 +299,12 @@ def _fast_feed(p: "_PageParser", rawdata: str) -> None:
                 i = endpos
                 continue
             if end_tok == "/>":
-                handle_start(tag, [])
-                handle_end(tag)
+                if relevant is None or tag in relevant:
+                    handle_start(tag, [])
+                    handle_end(tag)
             else:
-                handle_start(tag, [])
+                if relevant is None or tag in relevant:
+                    handle_start(tag, [])
                 cd = _CDATA_CLOSE.get(tag)
                 if cd is not None:
                     mm = cd.search(rawdata, endpos)
@@ -311,12 +328,16 @@ def _fast_feed(p: "_PageParser", rawdata: str) -> None:
                 continue
             m = _endtagfind.match(rawdata, i)
             if m:
-                handle_end(m.group(1).lower())
+                tag = m.group(1).lower()
+                if relevant is None or tag in relevant:
+                    handle_end(tag)
                 i = m.end()
                 continue
             m2 = _tagfind.match(rawdata, i + 2)
             if m2:
-                handle_end(m2.group(1).lower())
+                tag = m2.group(1).lower()
+                if relevant is None or tag in relevant:
+                    handle_end(tag)
                 i = find(">", m2.end()) + 1
                 continue
             if startswith("</>", i):

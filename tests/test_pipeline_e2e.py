@@ -207,7 +207,10 @@ def test_fast_feed_equivalence(ray_session, corpus_dir):
 
     import pyarrow.parquet as pq
 
-    from mannheimsearchjoinsengine_ray.stages.extract import parse_page_full
+    from mannheimsearchjoinsengine_ray.stages.extract import (
+        parse_page_full,
+        parse_page_tables,
+    )
 
     nasty = [
         "", "<", ">", "plain text &amp; more",
@@ -245,12 +248,18 @@ def test_fast_feed_equivalence(ray_session, corpus_dir):
     for h in nasty:
         assert parse_page_full(h, use_fast=True) == \
             parse_page_full(h, use_fast=False), h[:60]
+        # tables-only parser config (collect_text=False): the fast feeder
+        # additionally elides handler calls for tags it proves irrelevant
+        assert parse_page_tables(h, use_fast=True) == \
+            parse_page_tables(h, use_fast=False), h[:60]
     npages = 0
     for f in sorted(glob.glob(corpus_dir + "/*.parquet")):
         t = pq.read_table(f, columns=["html"])
         for h in t.column("html").to_pylist():
             assert parse_page_full(h, use_fast=True) == \
                 parse_page_full(h, use_fast=False)
+            assert parse_page_tables(h, use_fast=True) == \
+                parse_page_tables(h, use_fast=False)
             npages += 1
     assert npages >= 100
 
@@ -261,7 +270,10 @@ def test_fast_feed_fuzz_equivalence(ray_session):
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    from mannheimsearchjoinsengine_ray.stages.extract import parse_page_full
+    from mannheimsearchjoinsengine_ray.stages.extract import (
+        parse_page_full,
+        parse_page_tables,
+    )
 
     frag = st.sampled_from([
         "<", ">", "</", "<!", "<!--", "-->", "&", ";", "&#", "&amp", "&amp;",
@@ -279,5 +291,7 @@ def test_fast_feed_fuzz_equivalence(ray_session):
     def check(html):
         assert parse_page_full(html, use_fast=True) == \
             parse_page_full(html, use_fast=False)
+        assert parse_page_tables(html, use_fast=True) == \
+            parse_page_tables(html, use_fast=False)
 
     check()
