@@ -152,24 +152,71 @@ class RawTable:
 
 
 class _TableFlagParser(_PageParser):
-    """_PageParser plus per-table header-row flags."""
+    """_PageParser plus per-table header-row flags.
+
+    The handlers re-state the _PageParser logic inline (with the flag
+    bookkeeping woven in) instead of delegating via super(): the two-layer
+    dispatch cost two extra Python calls per tag event in the pipeline's
+    hottest loop.  Behavior is pinned identical by the fast-feed equivalence
+    tests, the byte-identical text goldens and the triple-parity goldens."""
 
     def __init__(self, collect_text: bool = True) -> None:
         super().__init__(collect_text=collect_text)
         self.table_flags: list[list[bool]] = []
 
     def handle_starttag(self, tag, attrs) -> None:
-        if tag == "table" and not self.skip_depth and self._table_depth == 0:
-            self.table_flags.append([])
-        super().handle_starttag(tag, attrs)
+        if tag in _SKIP_TAGS:
+            self.skip_depth += 1
+            return
+        if self.skip_depth:
+            return
+        if tag == "table":
+            if self._table_depth == 0:
+                self.table_flags.append([])
+            self._flush_block()
+            self._table_depth += 1
+            if self._table_depth == 1:
+                self.tables.append([])
+            return
+        if self._table_depth:
+            if tag == "tr":
+                self._row = []
+                self._row_has_th = False
+            elif tag in ("td", "th"):
+                self._cell = []
+                if tag == "th":
+                    self._row_has_th = True
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush_block()
 
     def handle_endtag(self, tag) -> None:
-        if (
-            tag == "tr" and not self.skip_depth and self._table_depth
-            and self._row is not None and self.table_flags
-        ):
-            self.table_flags[-1].append(self._row_has_th)
-        super().handle_endtag(tag)
+        if tag in _SKIP_TAGS:
+            self.skip_depth = max(0, self.skip_depth - 1)
+            return
+        if self.skip_depth:
+            return
+        if self._table_depth:
+            if tag in ("td", "th"):
+                if self._row is not None and self._cell is not None:
+                    self._row.append(_collapse("".join(self._cell)))
+                self._cell = None
+            elif tag == "tr":
+                if self._row is not None:
+                    if self.table_flags:
+                        self.table_flags[-1].append(self._row_has_th)
+                    if self.tables:
+                        self.tables[-1].append(self._row)
+                    if self.collect_text:
+                        line = "\t".join(self._row)
+                        if line.strip():
+                            self.blocks.append(line)
+                self._row = None
+            elif tag == "table":
+                self._table_depth = max(0, self._table_depth - 1)
+            return
+        if tag in _BLOCK_TAGS:
+            self._flush_block()
 
 
 import re as _re
