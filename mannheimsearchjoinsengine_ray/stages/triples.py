@@ -88,8 +88,8 @@ def triples_from_tables_batch(batch: pa.Table) -> pa.Table:
         if not has_key or key_idx < 0:
             continue
         key_header = headers[key_idx]
-        class_uri = NS + capitalize_words(key_header).replace(" ", "")
         class_label = capitalize_words(key_header)
+        class_uri = NS + class_label.replace(" ", "")
 
         # precompute per-column predicate URIs + literal tags once per table
         # (the reference recomputes these per cell — hot-path no-no)
@@ -102,11 +102,14 @@ def triples_from_tables_batch(batch: pa.Table) -> pa.Table:
             if key_norm in ("", "null", "string") or key_norm is None:
                 continue
             seen_key = True
-            subj = subject_uri(key_norm)
+            # capitalize once per key cell — subject_uri and the rdfs:label
+            # object share the same capitalized form
+            key_cap = capitalize_words(key_norm)
+            subj = NS + key_cap.replace(" ", "")
             s_out.append(subj); p_out.append(RDF_TYPE)
             o_out.append(class_uri); t_out.append("uri"); u_out.append(url)
             s_out.append(subj); p_out.append(RDFS_LABEL)
-            o_out.append(capitalize_words(key_norm)); t_out.append("string"); u_out.append(url)
+            o_out.append(key_cap); t_out.append("string"); u_out.append(url)
             for ci, obj in enumerate(row):
                 if ci == key_idx or obj is None or obj in ("", "null"):
                     continue
@@ -124,11 +127,12 @@ def triples_from_tables_batch(batch: pa.Table) -> pa.Table:
             for ci, h in enumerate(headers):
                 if ci == key_idx:
                     continue
-                prop = property_uri(h)
+                h_cap = capitalize_words(h)
+                prop = NS + h_cap.replace(" ", "")
                 s_out.append(prop); p_out.append(RDF_TYPE)
                 o_out.append(OWL_DATATYPE_PROPERTY); t_out.append("uri"); u_out.append(url)
                 s_out.append(prop); p_out.append(RDFS_LABEL)
-                o_out.append(capitalize_words(h)); t_out.append("string"); u_out.append(url)
+                o_out.append(h_cap); t_out.append("string"); u_out.append(url)
 
     return pa.Table.from_pydict(cols, schema=TRIPLE_SCHEMA)
 
@@ -164,13 +168,15 @@ def label_pairs_from_tables_batch(batch: pa.Table) -> pa.Table:
             if key_norm in ("", "null", "string") or key_norm is None:
                 continue
             seen_key = True
-            emit(subject_uri(key_norm), capitalize_words(key_norm))
+            key_cap = capitalize_words(key_norm)
+            emit(NS + key_cap.replace(" ", ""), key_cap)
         if seen_key:
-            class_uri = NS + capitalize_words(key_header).replace(" ", "")
-            emit(class_uri, capitalize_words(key_header))
+            kh_cap = capitalize_words(key_header)
+            emit(NS + kh_cap.replace(" ", ""), kh_cap)
             for ci, h in enumerate(headers):
                 if ci != key_idx:
-                    emit(property_uri(h), capitalize_words(h))
+                    h_cap = capitalize_words(h)
+                    emit(NS + h_cap.replace(" ", ""), h_cap)
     return pa.table({"id": pa.array(ids, pa.string()),
                      "name": pa.array(names, pa.string())})
 
