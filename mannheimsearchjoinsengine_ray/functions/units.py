@@ -303,43 +303,90 @@ class ParsedUnit:
         return self.subunit.base_name
 
 
+# header-hint → residue-suffix key, memoized per worker (hints are per-COLUMN
+# strings, reused across every cell of the column).  None marks hints the
+# fast path must not handle: a '-' in the hint flips the combined string's
+# negative detection, and non-space whitespace interacts with the combined
+# string's strip() — keep the exact concat semantics for those.
+_HINT_KEY_CACHE: dict[str, str | None] = {}
+_ODD_WS_RE = re.compile(r"[^\S ]")  # whitespace other than a plain space
+
+
+def _hint_key(hint: str) -> str | None:
+    k = _HINT_KEY_CACHE.get(hint, _NUMBER_RE)  # sentinel: cache may hold None
+    if k is _NUMBER_RE:
+        k = None if ("-" in hint or _ODD_WS_RE.search(hint)) \
+            else hint.lower().replace(" ", "")
+        _HINT_KEY_CACHE[hint] = k
+    return k
+
+
 def parse_unit(text: str, header_hint: str | None = None) -> ParsedUnit | None:
     """Parse '892sqkm' / '3,5 km' / '-12 mph' style values.  ``header_hint``
     is the bracket content of the column header (e.g. 'sq. km.') appended when
-    the cell itself has no unit (ColumnTypeGuesser.java:60-66)."""
+    the cell itself has no unit (ColumnTypeGuesser.java:60-66).
+
+    Hot path: the text is tokenized ONCE and the hint retry is a dict lookup
+    on ``residue + hint_key`` — equivalent to re-parsing ``text + " " + hint``
+    (all spaces are stripped from residues, and the number always comes from
+    the text when the text has one), without the per-cell concat + rescan.
+    Hints containing '-' or number-less texts fall back to the exact
+    combined-string parse."""
     if not text:
         return None
-    result = _parse_unit_text(text)
-    if result is None and header_hint:
-        result = _parse_unit_text(text + " " + header_hint)
-    return result
+    parts = _parse_unit_parts(text)
+    if parts is None:
+        # no parsable number in the text itself: the combined string may
+        # still parse (number supplied by the hint) — rare, keep exact path
+        if header_hint:
+            return _parse_unit_text(text + " " + header_hint)
+        return None
+    value, residue = parts
+    su = _ABBR_TO_SUBUNIT.get(residue) if residue else None
+    if su is None and header_hint:
+        hk = _hint_key(header_hint)
+        if hk is None or _ODD_WS_RE.search(text):
+            return _parse_unit_text(text + " " + header_hint)
+        su = _ABBR_TO_SUBUNIT.get(residue + hk)
+    if su is None:
+        return None
+    return ParsedUnit(subunit=su, value=value,
+                      base_value=(value + su.offset) * su.rate)
 
 
-def _parse_unit_text(text: str) -> ParsedUnit | None:
+def _parse_unit_parts(text: str) -> tuple[float, str] | None:
+    """(signed value, normalized residue) — or None when no number parses."""
     # cheap reject before any string copies: a unit value needs a number
     m = _NUMBER_RE.search(text)
     if m is None:
         return None
-    negative = False
     if "-" in text:
         text = text.replace("-", " ", 1)
-        negative = True
         m = _NUMBER_RE.search(text)
         if not m:
             return None
+        sign = -1.0
+    else:
+        sign = 1.0
     num_str = m.group(1)
     try:
         value = float(num_str.replace(",", "."))
     except ValueError:
         return None
     residue = text.replace(num_str, "", 1).strip().lower().replace(" ", "")
+    return sign * value, residue
+
+
+def _parse_unit_text(text: str) -> ParsedUnit | None:
+    parts = _parse_unit_parts(text)
+    if parts is None:
+        return None
+    value, residue = parts
     if not residue:
         return None
     su = _ABBR_TO_SUBUNIT.get(residue)
     if su is None:
         return None
-    if negative:
-        value = -value
     return ParsedUnit(subunit=su, value=value,
                       base_value=(value + su.offset) * su.rate)
 

@@ -163,6 +163,35 @@ class TestUnits:
         assert units.parse_unit("hello") is None
         assert units.parse_unit("123") is None
 
+    def test_hint_fast_path_matches_concat_semantics(self):
+        """The hinted lookup is a residue+hint_key dict probe, equivalent to
+        re-parsing ``text + " " + hint``; dash/odd-whitespace hints and
+        number-less texts must route through the exact combined parse."""
+        # fast path: pure number + clean hint
+        pu = units.parse_unit("3000", header_hint="sq km")
+        assert pu is not None and pu.subunit.name == "squareKilometre"
+        # cell residue + hint concatenate: "5 sq" + "km" → "sqkm"
+        pu = units.parse_unit("5 sq", header_hint="km")
+        assert pu is not None and pu.subunit.name == "squareKilometre"
+        # dash in hint: slow path — the combined string's first '-' is
+        # consumed as a NEGATIVE SIGN (quirk kept): "3000 sq-km" parses as
+        # -3000 square kilometres, which the fast path could never produce
+        pu = units.parse_unit("3000", header_hint="sq-km")
+        assert pu is not None and pu.value == -3000.0 \
+            and pu.subunit.name == "squareKilometre"
+        # number supplied by the hint (text has none): combined parse picks
+        # the hint's number, residue becomes text+hint-remainder → no match
+        assert units.parse_unit("abc", header_hint="5km") is None
+        # tab-bearing text routes to the combined parse: the tab survives
+        # strip+space-removal inside the residue, so no key can match
+        assert units.parse_unit("5k\t", header_hint="m") is None
+        # trailing tab in the HINT is stripped by the combined parse
+        pu = units.parse_unit("5", header_hint="km\t")
+        assert pu is not None and pu.base_value == pytest.approx(5000.0)
+        # negative with a hint still goes fast-path and keeps the sign
+        pu = units.parse_unit("-7", header_hint="km")
+        assert pu is not None and pu.value == -7.0
+
     def test_families(self):
         assert units.parse_unit("5kg").base_value == 5.0
         assert units.parse_unit("2 hours").base_value == 7200.0
