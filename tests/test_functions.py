@@ -182,9 +182,10 @@ class TestUnits:
         # number supplied by the hint (text has none): combined parse picks
         # the hint's number, residue becomes text+hint-remainder → no match
         assert units.parse_unit("abc", header_hint="5km") is None
-        # tab-bearing text routes to the combined parse: the tab survives
-        # strip+space-removal inside the residue, so no key can match
-        assert units.parse_unit("5k\t", header_hint="m") is None
+        # tab-bearing text routes to the combined parse, where the interior
+        # tab SURVIVES strip+space-removal ("5 sq\t"+"km" → residue
+        # "sq\tkm") — a fast-path concat would wrongly match "sqkm"
+        assert units.parse_unit("5 sq\t", header_hint="km") is None
         # trailing tab in the HINT is stripped by the combined parse
         pu = units.parse_unit("5", header_hint="km\t")
         assert pu is not None and pu.base_value == pytest.approx(5000.0)
