@@ -1286,6 +1286,9 @@ def q_kg_refine_link(sf_dir: str):
                         "expected_uri": rows["expected_uri"]})
     out = top1.merge(exp, on="row_idx")
     out["correct"] = out["entity_uri"] == out["expected_uri"]
+    # int64 like the DuckDB oracle (MENTION_SCHEMA carries int32 row ids;
+    # every other query's pass-through ints are already 64-bit)
+    out["row_idx"] = out["row_idx"].astype("int64")
     return out[["row_idx", "mention", "expected_uri", "entity_uri",
                 "correct"]].sort_values("row_idx").reset_index(drop=True)
 
