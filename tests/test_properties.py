@@ -163,3 +163,43 @@ def test_unit_parse_scales_linearly(value, abbr):
     assert got.base_unit == one.base_unit
     assert got.base_value == pytest.approx(abs(round(value, 4)) *
                                            one.base_value, rel=1e-9, abs=1e-9)
+
+
+@given(
+    st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+            whitelist_characters="-.,\t/°$",
+        ),
+        max_size=24,
+    ),
+    st.one_of(
+        st.none(),
+        st.sampled_from(["sq km", "km2", "sq-km", "mi", "kg", "x", "5km",
+                         "deg c", " m ", "m\t", ""]),
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Nd", "Zs"),
+                whitelist_characters="-.\t",
+            ),
+            max_size=10,
+        ),
+    ),
+)
+@settings(max_examples=400, deadline=None)
+def test_parse_unit_hint_fast_path_equals_combined_parse(text, hint):
+    """parse_unit's residue+hint_key dict probe must be indistinguishable
+    from re-parsing ``text + " " + hint`` (the pre-round-5 implementation)."""
+    from mannheimsearchjoinsengine_ray.functions import units
+
+    got = units.parse_unit(text, header_hint=hint)
+    want = None
+    if text:  # empty text short-circuits before any hint retry
+        want = units._parse_unit_text(text)
+        if want is None and hint:
+            want = units._parse_unit_text(text + " " + hint)
+    assert (got is None) == (want is None)
+    if got is not None:
+        assert got.subunit is want.subunit
+        assert got.value == want.value
+        assert got.base_value == want.base_value
