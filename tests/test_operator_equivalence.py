@@ -87,6 +87,36 @@ def test_two_phase_agg_matches_pandas(ray_session, rng):
                                   check_dtype=False, atol=1e-9, rtol=0)
 
 
+def test_two_phase_agg_bucket_final_matches_pandas(ray_session, rng):
+    """driver_final_bytes=0 forces the above-guard path: bucket-by-key-hash
+    + per-bucket vectorized merge (the corpus-cardinality final).  Values,
+    dtypes and columns must equal the driver path / plain pandas."""
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "g": rng.integers(0, 500, size=4000).astype(str),
+        "h": rng.integers(0, 3, size=4000),      # multi-key, non-string
+        "v": rng.standard_normal(4000),
+        "w": rng.integers(0, 100, size=4000),
+    })
+    spec = {
+        "s": ("v", "sum"), "mn": ("w", "min"), "mx": ("w", "max"),
+        "avg": ("v", "mean"), "n": (None, "count"),
+    }
+    got = two_phase_agg(rd.from_pandas(df).repartition(6), ["g", "h"], spec,
+                        final_blocks=7, driver_final_bytes=0).to_pandas()
+    want = df.groupby(["g", "h"]).agg(
+        s=("v", "sum"), mn=("w", "min"), mx=("w", "max"),
+        avg=("v", "mean"), n=("v", "size")).reset_index()
+    key = lambda d: d.sort_values(["g", "h"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(key(got), key(want),
+                                  check_dtype=False, atol=1e-9, rtol=0)
+    # driver path on the same input: identical values AND dtypes
+    drv = two_phase_agg(rd.from_pandas(df).repartition(6),
+                        ["g", "h"], spec).to_pandas()
+    pd.testing.assert_frame_equal(key(got), key(drv), atol=1e-9, rtol=0)
+
+
 def test_dedupe_by_key_matches_pandas(ray_session, rng):
     import ray.data as rd
 
